@@ -1,0 +1,21 @@
+"""Model zoo: Flax ResNet-v2-50 regressor + StabNet forward."""
+
+from stabnet_tpu.models.resnet import ResNetV2, StabNetRegressor, ThetaHead
+from stabnet_tpu.models.stabnet import (
+    StabNetOutput,
+    current_frame,
+    forward,
+    init_variables,
+    make_model,
+)
+
+__all__ = [
+    "ResNetV2",
+    "StabNetOutput",
+    "StabNetRegressor",
+    "ThetaHead",
+    "current_frame",
+    "forward",
+    "init_variables",
+    "make_model",
+]

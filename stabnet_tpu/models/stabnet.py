@@ -1,0 +1,78 @@
+"""StabNet model: input stack -> theta -> mesh -> warped frame.
+
+Functional equivalent of the reference `inference_stable_net` forward path
+(s_net_bundle_nobm.py:266-307) without the TF-graph loss plumbing: the model
+produces tensors; losses live in `stabnet_tpu.losses`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stabnet_tpu.config import StabNetConfig
+from stabnet_tpu.models.resnet import StabNetRegressor
+from stabnet_tpu.ops import cell_pts, theta_to_mesh, transformer
+from stabnet_tpu.ops.warp import WarpResult
+
+
+class StabNetOutput(NamedTuple):
+    theta: jax.Array       # (B, theta_dim) raw vertex offsets
+    mesh: jax.Array        # (B, gh+1, gw+1, 2) clamped mesh ("pts2")
+    pts1: jax.Array        # (B, gh, gw, 8) per-cell corner bundles
+    warp: WarpResult       # warped current frame + maps + black mask
+
+
+def make_model(cfg: StabNetConfig) -> StabNetRegressor:
+    return StabNetRegressor(theta_dim=cfg.theta_dim, dtype=jnp.dtype(cfg.compute_dtype))
+
+
+def current_frame(x: jax.Array, cfg: StabNetConfig) -> jax.Array:
+    """Slice the current unstable frame from the input stack.
+
+    Reference: s_net_bundle_nobm.py:280-283.
+    """
+    c = cfg.cur_channel
+    return x[..., c : c + 1]
+
+
+def forward(model: StabNetRegressor, variables, x: jax.Array, cfg: StabNetConfig,
+            train: bool = False, mutable: bool = False):
+    """Run the regressor and warp the current frame.
+
+    Args:
+      variables: flax variables {params, batch_stats}.
+      x: (B, H, W, C_in) input stack (history masks + history frames + current).
+      train: use batch statistics and update them (training branch); the
+        reference instantiates both branches over shared weights
+        (s_net_bundle_nobm.py:301-302) — here it's one function with a flag.
+      mutable: if True, also return updated batch_stats.
+
+    Returns:
+      StabNetOutput (and new model state when `mutable`).
+    """
+    if mutable:
+        theta, new_state = model.apply(
+            variables, x, train=train, mutable=["batch_stats"]
+        )
+    else:
+        theta = model.apply(variables, x, train=train)
+        new_state = None
+
+    mesh = theta_to_mesh(theta, cfg.grid_h, cfg.grid_w, cfg.do_crop_rate)
+    pts1 = cell_pts(mesh)
+    warp = transformer(
+        current_frame(x, cfg).astype(jnp.dtype(cfg.warp_dtype)),
+        mesh, cfg.grid_h, cfg.grid_w,
+    )
+    out = StabNetOutput(theta=theta, mesh=mesh, pts1=pts1, warp=warp)
+    if mutable:
+        return out, new_state
+    return out
+
+
+def init_variables(model: StabNetRegressor, cfg: StabNetConfig, rng: jax.Array):
+    x = jnp.zeros((1, cfg.height, cfg.width, cfg.in_channels), jnp.float32)
+    return model.init(rng, x, train=False)

@@ -1,0 +1,237 @@
+"""Host-side streaming driver: video files in, stabilized videos out.
+
+Reference equivalent: the deploy_bundle.py main loop (deploy_bundle.py:183-371)
+with all its options: warm-up, fps halving, --refine, --max-span,
+--infer-with-stable/--infer-with-last, --random-black occlusion testing,
+--deploy-vis diagnostic mosaics, --start-with-stable, and the final
+accumulated-black maximal crop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from stabnet_tpu.config import StabNetConfig
+from stabnet_tpu.ops.crop import max_clear_rect
+from stabnet_tpu.stream import video_io
+from stabnet_tpu.stream.engine import StreamEngine
+from stabnet_tpu.utils import get_logger
+
+logger = get_logger()
+
+
+@dataclasses.dataclass
+class DeployOptions:
+    """Mirror of the reference deploy CLI flags (deploy_bundle.py:12-31)."""
+
+    refine: int = 1
+    max_span: int = 1
+    infer_with_stable: bool = False
+    infer_with_last: bool = False
+    start_with_stable: bool = False
+    random_black: Optional[int] = None
+    deploy_vis: bool = False
+    output_size: Optional[Tuple[int, int]] = None  # (H, W); None = source size
+
+
+@dataclasses.dataclass
+class ClipResult:
+    frames: np.ndarray            # (T, Ho, Wo, 3) uint8 stabilized frames
+    cropped: np.ndarray           # (T, Hc, Wc, 3) uint8 black-free crop
+    crop_rect: Tuple[int, int, int, int]
+    all_black: np.ndarray         # (H, W) accumulated black counts
+    fps_net: float                # net-step throughput (frames/s)
+    vis: Optional[np.ndarray] = None
+
+
+def _bounce(delta: int, bound: int, speed: int) -> Tuple[int, int]:
+    """Bouncing occlusion offset (reference: getNext, deploy_bundle.py:95-99)."""
+    tmp = delta + speed
+    if tmp >= bound or tmp < 0:
+        speed *= -1
+    return delta + speed, speed
+
+
+class StreamDriver:
+    """Stabilize clips with a StreamEngine; one instance per engine config."""
+
+    def __init__(self, engine: StreamEngine, options: Optional[DeployOptions] = None):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.opt = options or DeployOptions()
+
+    # -- core ----------------------------------------------------------------
+    def stabilize_clip(self, unstable: np.ndarray,
+                       stable: Optional[np.ndarray] = None) -> ClipResult:
+        """Stabilize one clip given as (T, H, W, 3) uint8 frames.
+
+        `stable` ground-truth frames enable --infer-with-stable / vis modes.
+        """
+        cfg, opt = self.cfg, self.opt
+        T = len(unstable)
+        assert T >= 2, "need at least 2 frames"
+        first = stable[0] if (opt.start_with_stable and stable is not None) else unstable[0]
+
+        first_gray = video_io.to_gray_train(first, cfg.height, cfg.width,
+                                            cfg.crop_rate)
+        state = self.engine.init(first_gray[None])
+
+        out_hw = opt.output_size or unstable.shape[1:3]
+        out_frames: List[np.ndarray] = [self._resize_color(first, out_hw)]
+        vis_frames: List[np.ndarray] = []
+        tot_net = 0.0
+
+        # Ablation bookkeeping (host-side history, only when needed).
+        host_hist = None
+        if opt.infer_with_stable or opt.infer_with_last or opt.max_span > 1:
+            host_hist = [first_gray.copy() for _ in range(cfg.history_len)]
+            host_masks = [np.zeros_like(first_gray) for _ in range(cfg.history_len)]
+        span_stack = None
+        span_age = 0
+        delta, speed = 0, opt.random_black or 0
+
+        for t in range(1, T):
+            frame = unstable[t]
+            cur_gray = video_io.to_gray_train(frame, cfg.height, cfg.width, 1.0)
+            if opt.random_black is not None:
+                delta, speed = _bounce(delta, 50, speed)
+                cur_gray[:, delta:] = cur_gray[:, : cur_gray.shape[1] - delta]
+                cur_gray[:, :delta] = -1.0
+
+            override = None
+            if host_hist is not None:
+                offs = [i for i in cfg.indices if i > 0]
+                chans = [host_masks[-i] for i in offs] if cfg.input_mask else []
+                chans += [host_hist[-i] for i in offs]
+                override = np.stack(chans, axis=-1)[None]
+                if opt.max_span > 1:
+                    if span_stack is None or span_age >= opt.max_span:
+                        span_stack, span_age = override, 0
+                    override = span_stack
+                    span_age += 1
+
+            t0 = time.perf_counter()
+            state, out = self.engine.step(
+                state, cur_gray[None], frame[None], history_override=override
+            )
+            warped = np.asarray(out.warped_color[0])
+            tot_net += time.perf_counter() - t0
+
+            out_frames.append(warped)
+            if opt.deploy_vis:
+                vis_frames.append(self._vis_mosaic(out, cur_gray, stable, t))
+
+            if host_hist is not None:
+                black = np.asarray(out.black[0])
+                if opt.infer_with_stable and stable is not None:
+                    host_hist.append(video_io.to_gray_train(
+                        stable[t], cfg.height, cfg.width, cfg.crop_rate))
+                    host_masks.append(np.zeros_like(first_gray))
+                else:
+                    host_hist.append(np.asarray(out.output_gray[0]) + black * (-1.0))
+                    host_masks.append(black)
+                if opt.infer_with_last:
+                    host_hist = [host_hist[-1]] * len(host_hist)
+                host_hist.pop(0)
+                host_masks.pop(0)
+
+        all_black = np.asarray(state.all_black[0])
+        rect = max_clear_rect(all_black)
+        # Scale the model-resolution rectangle to the output resolution.
+        sy = out_hw[0] / cfg.height
+        sx = out_hw[1] / cfg.width
+        top, left, bot, right = rect
+        frames_arr = np.stack(out_frames)
+        cropped = frames_arr[
+            :,
+            int(np.ceil(top * sy)) : int(np.floor((bot + 1) * sy)),
+            int(np.ceil(left * sx)) : int(np.floor((right + 1) * sx)),
+            :,
+        ]
+        fps_net = (T - 1) / tot_net if tot_net > 0 else float("inf")
+        return ClipResult(
+            frames=frames_arr,
+            cropped=cropped,
+            crop_rect=rect,
+            all_black=all_black,
+            fps_net=fps_net,
+            vis=np.stack(vis_frames) if vis_frames else None,
+        )
+
+    # -- file interface (reference CLI behavior) -----------------------------
+    def stabilize_file(self, unstable_path: str, output_dir: str,
+                       stable_path: Optional[str] = None) -> ClipResult:
+        """Stabilize a video file, writing `<name>.avi` and `<name>_cut.avi`.
+
+        Reference: deploy_bundle.py:183-371.
+        """
+        reader = video_io.VideoReader(unstable_path)
+        frames = np.stack(list(reader))
+        reader.close()
+        stable = None
+        if stable_path and os.path.exists(stable_path):
+            sreader = video_io.VideoReader(stable_path)
+            stable = np.stack(list(sreader))
+            sreader.close()
+
+        res = self.stabilize_clip(frames, stable)
+        name = os.path.basename(unstable_path)
+        prod = os.path.join(output_dir, "output")
+        os.makedirs(prod, exist_ok=True)
+        self._write_video(os.path.join(prod, name + ".avi"), res.frames, reader.fps)
+        self._write_video(os.path.join(prod, name + "_cut.avi"), res.cropped,
+                          reader.fps)
+        if res.vis is not None:
+            vis_dir = os.path.join(output_dir, "output-vis")
+            os.makedirs(vis_dir, exist_ok=True)
+            self._write_video(os.path.join(vis_dir, name + ".avi"), res.vis,
+                              reader.fps)
+        logger.info("%s: %d frames, net fps=%.1f, crop=%s",
+                    name, len(res.frames), res.fps_net, res.crop_rect)
+        return res
+
+    # -- helpers -------------------------------------------------------------
+    @staticmethod
+    def _resize_color(frame: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+        if frame.shape[:2] == tuple(out_hw):
+            return frame
+        if video_io.HAVE_CV2:
+            import cv2
+
+            return cv2.resize(frame, (out_hw[1], out_hw[0]))
+        return video_io._resize_nearest(frame, *out_hw)
+
+    @staticmethod
+    def _write_video(path: str, frames: np.ndarray, fps: float):
+        if video_io.HAVE_CV2:
+            w = video_io.VideoWriter(path, fps, frames.shape[1:3])
+        else:
+            w = video_io.ArrayVideoWriter()
+        for f in frames:
+            w.write(f)
+        w.close()
+
+    def _vis_mosaic(self, out, cur_gray: np.ndarray,
+                    stable: Optional[np.ndarray], t: int) -> np.ndarray:
+        """2x2 diagnostic mosaic (reference: draw_imgs, deploy_bundle.py:77-93):
+        [net output | output - stable ; output - input | output - last]."""
+        cfg = self.cfg
+        net = video_io.from_gray_train(np.asarray(out.output_gray[0])).astype(np.int32)
+        unstable_img = video_io.from_gray_train(cur_gray).astype(np.int32)
+        if stable is not None and t < len(stable):
+            st = video_io.from_gray_train(
+                video_io.to_gray_train(stable[t], cfg.height, cfg.width,
+                                       cfg.crop_rate)
+            ).astype(np.int32)
+        else:
+            st = np.zeros_like(net)
+        top = np.concatenate([net, np.abs(net - st)], axis=1)
+        bottom = np.concatenate([np.abs(net - unstable_img),
+                                 np.abs(net - unstable_img)], axis=1)
+        img = np.concatenate([top, bottom], axis=0).astype(np.uint8)
+        return np.repeat(img[..., None], 3, axis=-1)

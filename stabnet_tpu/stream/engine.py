@@ -1,0 +1,245 @@
+"""Online streaming stabilization engine.
+
+Reference equivalent: the deploy driver's per-frame loop
+(deploy_bundle.py:183-371): assemble a 13-channel input from host ring
+buffers, run the net, warp the full-res color frame on host with cv2.remap,
+push the net output back into the history.
+
+TPU-native re-design:
+  * the 32-slot history ring buffer (frames + masks) lives ON DEVICE as part
+    of a jitted step's carried state (`dynamic_update_slice` write, modular
+    gather read) — no per-frame host round-trip of history;
+  * the full-resolution color warp runs on device (bilinear resample of the
+    smoothed maps; reference does host cv2.remap, deploy_bundle.py:136-146);
+  * frames cross host<->device as uint8 (decode/encode stay on host);
+  * the engine is vmap-ready over a leading stream axis: S independent clips
+    stabilize in lock-step to fill the chip (throughput mode), S=1 is the
+    latency mode;
+  * `refine` (feed output back, deploy_bundle.py:284-295) is a static unroll
+    inside the jitted step.
+
+Ablation modes of the reference driver (--infer-with-stable, --infer-with-last,
+--max-span, --random-black; deploy_bundle.py:18-30) are host-side input
+manipulations; they are supported through `StreamDriver` which can override
+history channels explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabnet_tpu.config import StabNetConfig
+from stabnet_tpu.models import stabnet
+from stabnet_tpu.ops import bilinear_sample, transformer
+from stabnet_tpu.ops.crop import max_clear_rect
+from stabnet_tpu.ops.mesh import theta_to_mesh
+from stabnet_tpu.utils.profiling import StageTimer
+
+
+class StreamState(NamedTuple):
+    """Device-resident per-stream state (S = number of concurrent streams)."""
+
+    frames: jax.Array     # (S, L, H, W) stabilized history, model scale
+    masks: jax.Array      # (S, L, H, W) black-border history
+    ptr: jax.Array        # (S,) int32 index of the next frame to process
+    all_black: jax.Array  # (S, H, W) int32 accumulated black mask counts
+
+
+class StepOutput(NamedTuple):
+    output_gray: jax.Array   # (S, H, W) net output, model scale
+    black: jax.Array         # (S, H, W)
+    x_map: jax.Array         # (S, H, W)
+    y_map: jax.Array         # (S, H, W)
+    warped_color: jax.Array  # (S, Ho, Wo, 3) uint8 stabilized full-res frame
+
+
+def init_state(first_gray: jax.Array, cfg: StabNetConfig) -> StreamState:
+    """Warm-up: replicate frame 0 into every ring slot, zero masks.
+
+    Reference: deploy_bundle.py:216-224.
+    first_gray: (S, H, W) model-scale first frame of each stream.
+    """
+    S, H, W = first_gray.shape
+    L = cfg.history_len
+    frames = jnp.broadcast_to(first_gray[:, None], (S, L, H, W)).astype(jnp.float32)
+    masks = jnp.zeros((S, L, H, W), jnp.float32)
+    ptr = jnp.ones((S,), jnp.int32)  # frame 0 is written through as-is
+    all_black = jnp.zeros((S, H, W), jnp.int32)
+    return StreamState(frames, masks, ptr, all_black)
+
+
+def _gather_history(ring: jax.Array, ptr: jax.Array,
+                    offsets: jax.Array) -> jax.Array:
+    """ring: (S, L, H, W); ptr: (S,); offsets: (K,) -> (S, K, H, W)."""
+    L = ring.shape[1]
+    idx = (ptr[:, None] - offsets[None, :]) % L               # (S, K)
+    return jax.vmap(lambda r, i: r[i])(ring, idx)
+
+
+def assemble_input(state: StreamState, cur_gray: jax.Array,
+                   cfg: StabNetConfig) -> jax.Array:
+    """Build the (S, H, W, C_in) input stack from the device ring buffers.
+
+    Channel order matches training and deploy: history masks (offsets
+    ascending), history frames, current frame (deploy_bundle.py:259-274).
+    """
+    offsets = jnp.asarray([i for i in cfg.indices if i > 0], jnp.int32)
+    hist_f = _gather_history(state.frames, state.ptr, offsets)
+    parts = []
+    if cfg.input_mask:
+        hist_m = _gather_history(state.masks, state.ptr, offsets)
+        parts.append(jnp.moveaxis(hist_m, 1, -1))
+    parts.append(jnp.moveaxis(hist_f, 1, -1))
+    parts.append(cur_gray[..., None])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig):
+    theta = model.apply(variables, x, train=False)
+    mesh = theta_to_mesh(theta, cfg.grid_h, cfg.grid_w, cfg.do_crop_rate)
+    cur = x[..., cfg.cur_channel : cfg.cur_channel + 1].astype(jnp.float32)
+    return transformer(cur, mesh, cfg.grid_h, cfg.grid_w)
+
+
+def smooth_maps(x_map: jax.Array, y_map: jax.Array,
+                rate: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """Low-pass the dense maps by 4x down/up resampling.
+
+    Reference: deploy_bundle.py:136-146 (cv2.resize down then up before
+    remap) — removes per-cell seams from the piecewise-projective map.
+    """
+    S, H, W = x_map.shape
+
+    def smooth(m):
+        small = jax.image.resize(m, (S, H // rate, W // rate), method="bilinear")
+        return jax.image.resize(small, (S, H, W), method="bilinear")
+
+    return smooth(x_map), smooth(y_map)
+
+
+def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
+               out_hw: Tuple[int, int], smooth_rate: int = 4) -> jax.Array:
+    """Warp full-resolution uint8 color frames by the (smoothed) NDC maps.
+
+    color: (S, Hf, Wf, 3) uint8. Returns (S, Ho, Wo, 3) uint8.
+    The NDC maps are resolution independent; they are resampled to the output
+    size and used to sample the full-res frame directly on device (the
+    reference warps a downscaled 512x288 frame on host instead).
+    """
+    S = color.shape[0]
+    Ho, Wo = out_hw
+    xs, ys = smooth_maps(x_map, y_map, smooth_rate)
+    if (Ho, Wo) != xs.shape[1:]:
+        xs = jax.image.resize(xs, (S, Ho, Wo), method="bilinear")
+        ys = jax.image.resize(ys, (S, Ho, Wo), method="bilinear")
+    img = color.astype(jnp.float32)
+    warped = bilinear_sample(img, xs, ys)
+    return jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
+
+
+def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
+                cur_color: jax.Array, cfg: StabNetConfig, refine: int = 1,
+                out_hw: Optional[Tuple[int, int]] = None,
+                history_override: Optional[jax.Array] = None
+                ) -> Tuple[StreamState, StepOutput]:
+    """Process one frame per stream.  Pure function; jit over (state, frames).
+
+    Args:
+      cur_gray: (S, H, W) current unstable frame, model scale.
+      cur_color: (S, Hf, Wf, 3) uint8 full-res current frame.
+      refine: static number of self-refinement passes
+        (deploy_bundle.py:284-295).
+      history_override: optional (S, H, W, C_in - 1) replacing the on-device
+        history channels (ablation modes).
+    """
+    H, W = cfg.height, cfg.width
+    if history_override is None:
+        x = assemble_input(state, cur_gray, cfg)
+    else:
+        x = jnp.concatenate([history_override, cur_gray[..., None]], axis=-1)
+
+    warp = None
+    for _ in range(max(refine, 1)):
+        warp = _net_forward(model, variables, x, cfg)
+        fed_back = warp.output[..., 0] + warp.black_pix * (-1.0)
+        x = jnp.concatenate([x[..., :-1], fed_back[..., None]], axis=-1)
+
+    out_gray = warp.output[..., 0]
+    black = warp.black_pix
+    new_frame = out_gray + black * (-1.0)
+
+    L = state.frames.shape[1]
+    slot = state.ptr % L
+
+    def write(ring, value):
+        return jax.vmap(lambda r, s, v: r.at[s].set(v))(ring, slot, value)
+
+    new_state = StreamState(
+        frames=write(state.frames, new_frame),
+        masks=write(state.masks, black),
+        ptr=state.ptr + 1,
+        all_black=state.all_black + jnp.round(black).astype(jnp.int32),
+    )
+
+    out_hw = out_hw or (cur_color.shape[1], cur_color.shape[2])
+    warped = warp_color(cur_color, warp.x_map, warp.y_map, out_hw)
+    return new_state, StepOutput(
+        output_gray=out_gray, black=black,
+        x_map=warp.x_map, y_map=warp.y_map, warped_color=warped,
+    )
+
+
+class StreamEngine:
+    """Compiled online stabilizer over S concurrent streams."""
+
+    def __init__(self, model, variables, cfg: StabNetConfig, refine: int = 1,
+                 out_hw: Optional[Tuple[int, int]] = None):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.refine = refine
+        self.out_hw = out_hw
+        self._step = jax.jit(
+            functools.partial(
+                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw
+            ),
+            donate_argnames=("state",),
+            static_argnames=(),
+        )
+        self._step_override = jax.jit(
+            functools.partial(
+                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw
+            ),
+            donate_argnames=("state",),
+        )
+        self.timer = StageTimer()
+
+    def init(self, first_gray: np.ndarray) -> StreamState:
+        return jax.jit(functools.partial(init_state, cfg=self.cfg))(
+            jnp.asarray(first_gray)
+        )
+
+    def step(self, state: StreamState, cur_gray: np.ndarray,
+             cur_color: np.ndarray,
+             history_override: Optional[np.ndarray] = None
+             ) -> Tuple[StreamState, StepOutput]:
+        if history_override is None:
+            return self._step(self.variables, state, jnp.asarray(cur_gray),
+                              jnp.asarray(cur_color))
+        return self._step_override(
+            self.variables, state, jnp.asarray(cur_gray),
+            jnp.asarray(cur_color), history_override=jnp.asarray(history_override),
+        )
+
+
+def crop_rectangle(all_black: np.ndarray) -> Tuple[int, int, int, int]:
+    """Final maximal black-free crop over the whole clip.
+
+    Reference: deploy_bundle.py:344-365; see stabnet_tpu.ops.crop.
+    """
+    return max_clear_rect(np.asarray(all_black))
