@@ -1,0 +1,216 @@
+"""StabNet-TPU CLI.
+
+Usage:
+  python -m stabnet_tpu.cli.main train --config v2_93 --data data/ [--restore]
+  python -m stabnet_tpu.cli.main stabilize --model-dir models/v2_93 \
+      --test-list data_video/test_list --prefix data_video [options]
+  python -m stabnet_tpu.cli.main bench
+  python -m stabnet_tpu.cli.main convert-ckpt --tf-checkpoint model-80000 --out ckpt/
+  python -m stabnet_tpu.cli.main convert-data --records data/train --out shards/train
+  python -m stabnet_tpu.cli.main make-synthetic --out shards/train --num 256
+
+Mirrors the reference CLIs: train_bundle_nobm.py:34-37 (train) and
+deploy_bundle.py:12-31 (stabilize, including every ablation flag).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _add_stabilize_args(p: argparse.ArgumentParser):
+    # Reference flags: deploy_bundle.py:12-31.
+    p.add_argument("--model-dir", required=False, default=None,
+                   help="orbax checkpoint dir (omit for random weights)")
+    p.add_argument("--tf-checkpoint", default=None,
+                   help="reference TF checkpoint (converted on the fly)")
+    p.add_argument("--output-dir", default="data_video_local")
+    p.add_argument("--infer-with-stable", action="store_true")
+    p.add_argument("--infer-with-last", action="store_true")
+    p.add_argument("--test-list", nargs="+",
+                   default=["data_video/test_list", "data_video/train_list_deploy"])
+    p.add_argument("--prefix", default="data_video")
+    p.add_argument("--max-span", type=int, default=1)
+    p.add_argument("--random-black", type=int, default=None)
+    p.add_argument("--start-with-stable", action="store_true")
+    p.add_argument("--refine", type=int, default=1)
+    p.add_argument("--deploy-vis", action="store_true")
+    p.add_argument("--config", default="v2_93")
+    p.add_argument("--output-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"))
+
+
+def cmd_train(args):
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.data.pipeline import InputPipeline
+    from stabnet_tpu.train.loop import train
+
+    cfg = get_config(args.config)
+    if args.model_dir:
+        cfg = cfg.replace(model_dir=args.model_dir)
+    train_it = InputPipeline(os.path.join(args.data, "train"), cfg, seed=args.seed)
+    test_dir = os.path.join(args.data, "test")
+    test_it = (
+        InputPipeline(test_dir, cfg, seed=args.seed + 1)
+        if os.path.isdir(test_dir) else None
+    )
+    train(cfg, iter(train_it), test_it and iter(test_it), restore=args.restore,
+          num_steps=args.steps, use_mesh=args.data_parallel, seed=args.seed)
+
+
+def cmd_stabilize(args):
+    import jax
+
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.models import init_variables, make_model
+    from stabnet_tpu.stream import DeployOptions, StreamDriver, StreamEngine
+
+    cfg = get_config(args.config)
+    model = make_model(cfg)
+    if args.tf_checkpoint:
+        from stabnet_tpu.compat import convert_stabnet_checkpoint
+
+        variables = convert_stabnet_checkpoint(args.tf_checkpoint)
+    elif args.model_dir:
+        from stabnet_tpu.train import checkpoint as ckpt
+        from stabnet_tpu.train.state import create_train_state
+
+        state = ckpt.restore(
+            args.model_dir,
+            create_train_state(model, cfg, jax.random.PRNGKey(0)),
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        print("warning: no checkpoint given; using random weights",
+              file=sys.stderr)
+        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+    engine = StreamEngine(
+        model, variables, cfg, refine=args.refine,
+        out_hw=tuple(args.output_size) if args.output_size else None,
+    )
+    opt = DeployOptions(
+        refine=args.refine, max_span=args.max_span,
+        infer_with_stable=args.infer_with_stable,
+        infer_with_last=args.infer_with_last,
+        start_with_stable=args.start_with_stable,
+        random_black=args.random_black, deploy_vis=args.deploy_vis,
+        output_size=tuple(args.output_size) if args.output_size else None,
+    )
+    driver = StreamDriver(engine, opt)
+
+    videos = []
+    for list_path in args.test_list:
+        if os.path.isfile(list_path):
+            with open(list_path) as f:
+                videos.extend(v for v in f.read().split("\n") if v.strip())
+    failures = 0
+    for name in videos:
+        try:
+            driver.stabilize_file(
+                os.path.join(args.prefix, "unstable", name),
+                args.output_dir,
+                stable_path=os.path.join(args.prefix, "stable", name),
+            )
+        except Exception as e:  # keep going; one bad clip must not kill the batch
+            failures += 1
+            print(f"error: {name}: {e}", file=sys.stderr)
+    if failures:
+        print(f"{failures}/{len(videos)} videos failed", file=sys.stderr)
+        sys.exit(1)
+
+
+def cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+                   run_name="__main__")
+
+
+def cmd_convert_ckpt(args):
+    import jax
+
+    from stabnet_tpu.compat import convert_stabnet_checkpoint
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.models import make_model
+    from stabnet_tpu.train import checkpoint as ckpt
+    from stabnet_tpu.train.state import create_train_state
+
+    cfg = get_config(args.config)
+    variables = convert_stabnet_checkpoint(args.tf_checkpoint)
+    model = make_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    ckpt.save(args.out, state, step=0)
+    print(f"converted {args.tf_checkpoint} -> {args.out}")
+
+
+def cmd_convert_data(args):
+    from stabnet_tpu.compat.tfrecord import convert_dataset
+    from stabnet_tpu.config import get_config
+
+    n = convert_dataset(args.records, args.out, get_config(args.config),
+                        limit=args.limit)
+    print(f"converted {n} examples -> {args.out}")
+
+
+def cmd_make_synthetic(args):
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.data.records import write_synthetic_dataset
+
+    write_synthetic_dataset(args.out, get_config(args.config), args.num,
+                            seed=args.seed)
+    print(f"wrote {args.num} synthetic examples -> {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="stabnet-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train StabNet (train_bundle_nobm equivalent)")
+    p.add_argument("--config", default="v2_93")
+    p.add_argument("--data", default="data/")
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--restore", action="store_true")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("stabilize", help="streaming deploy (deploy_bundle equivalent)")
+    _add_stabilize_args(p)
+    p.set_defaults(fn=cmd_stabilize)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("convert-ckpt", help="reference TF checkpoint -> orbax")
+    p.add_argument("--tf-checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--config", default="v2_93")
+    p.set_defaults(fn=cmd_convert_ckpt)
+
+    p = sub.add_parser("convert-data", help="reference TFRecords -> npz shards")
+    p.add_argument("--records", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--config", default="v2_93")
+    p.set_defaults(fn=cmd_convert_data)
+
+    p = sub.add_parser("make-synthetic", help="generate a synthetic dataset")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num", type=int, default=256)
+    p.add_argument("--config", default="tiny")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_make_synthetic)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Fused Pallas TPU kernel for bilinear map resampling (the warp hot loop).
+
+Why: XLA lowers per-pixel gathers on TPU to a serial dynamic-slice loop —
+measured ~22 ms for a 720p 3-channel warp on v5e, ~100x off the roofline.
+This kernel reformulates the gather as per-tile ONE-HOT MATMULS on the MXU.
+
+Layout trick: each (8, 128) output tile's sampling coordinates are
+pre-flattened OUTSIDE the kernel into a (1, 1024) lane vector (Mosaic cannot
+reshape (8,128)->(1024,1) in-kernel, but XLA can lay the arrays out any way
+we like).  Per tile and channel the kernel then:
+
+  1. DMAs a (YB, XB) input window (dynamic, aligned base) from HBM into VMEM,
+  2. builds the horizontal interpolation matrix Wh (XB, 1024) with the "hat"
+     identity  weight(col c) = max(0, 1 - |x - c|) * [0 <= x <= W-1]
+     — exactly the reference's two clamped-corner taps, including the
+     cancellation to zero outside the frame (spatial_transformer3.py:85-122),
+  3. contracts G = win @ Wh on the MXU -> (YB, 1024): every band row
+     horizontally interpolated at every output pixel,
+  4. applies the vertical hat weights elementwise and reduces over the band.
+
+One MXU contraction per (tile, channel); channels share the weight matrices.
+
+Window bounds: samples farther than the (YB, XB) window from the tile's
+minimum sample contribute 0.  For stabilization meshes (vertex offsets clamped
+to +/-1/do_crop_rate, rigidity losses) the per-tile spread is far below the
+defaults.  The pure-XLA `ops.warp.bilinear_sample` remains the reference path
+and is used in training (where gradients are needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+TILE_N = TILE_H * TILE_W
+
+
+def _ceil_mult(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
+                 H: int, W: int, YB: int, XB: int, C: int):
+    """One (8, 128) output tile, all channels.  Maps arrive as (1, 1024)."""
+    x = x_ref[0, 0, 0]                            # (1, TILE_N) pixel-space x
+    y = y_ref[0, 0, 0]
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+
+    # Window bases, aligned for DMA (lane dim 128-aligned, sublane 8).
+    Hp_im = _ceil_mult(H, 8)
+    Wp_im = _ceil_mult(W, 128)
+    ybase = jnp.maximum(jnp.minimum(jnp.min(y0c) & ~7, Hp_im - YB), 0)
+    xbase = jnp.maximum(jnp.minimum(jnp.min(x0c) & ~127, Wp_im - XB), 0)
+    ybase = pl.multiple_of(ybase, 8)
+    xbase = pl.multiple_of(xbase, 128)
+
+    b = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        im_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)],
+        win,
+        sem,
+    )
+    copy.start()
+
+    # Validity: outside [0, size-1] the reference's clamped taps cancel.
+    vx = ((x >= 0.0) & (x <= W - 1)).astype(jnp.float32)
+    vy = ((y >= 0.0) & (y <= H - 1)).astype(jnp.float32)
+
+    xrel = x - xbase.astype(jnp.float32)          # (1, TILE_N)
+    yrel = y - ybase.astype(jnp.float32)
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (XB, TILE_N), 0)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (YB, TILE_N), 0)
+
+    # Horizontal / vertical interpolation matrices (hat * validity).
+    Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)) * vx    # (XB, TILE_N)
+    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows)) * vy    # (YB, TILE_N)
+
+    copy.wait()
+
+    outs = []
+    for c in range(C):                            # channels share the weights
+        # (YB, XB) @ (XB, TILE_N) on the MXU: every band row horizontally
+        # interpolated at every output pixel of the tile.
+        G = jax.lax.dot_general(
+            win[c], Wh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                         # (YB, TILE_N)
+        outs.append(jnp.sum(G * Wv, axis=0, keepdims=True))   # (1, TILE_N)
+
+    out_ref[:] = jnp.concatenate(outs, axis=0).reshape(1, 1, 1, C, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("y_band", "x_band", "interpret")
+)
+def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
+                           y_band: int = 32, x_band: int = 384,
+                           interpret: Optional[bool] = None) -> jax.Array:
+    """Drop-in fast path for `ops.warp.bilinear_sample` (inference only).
+
+    Args:
+      im: (B, H, W, C) float32 input images.
+      x_ndc, y_ndc: (B, Ho, Wo) NDC sample maps ((x+1)*W/2 pixel convention).
+      y_band, x_band: input-window extents per output tile; samples whose
+        coordinates spread beyond the window within one (8, 128) tile
+        contribute zero (see module docstring).
+
+    Returns:
+      (B, Ho, Wo, C) sampled images, numerically equal to the XLA path for
+      in-window maps (matmul rounding ~1e-6).
+    """
+    B, H, W, C = im.shape
+    Ho, Wo = x_ndc.shape[1], x_ndc.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    # Pad the input so DMA windows can be tiling-aligned; sample indices are
+    # clamped to the ORIGINAL extent, so the padding is never read as data.
+    Hp_im = _ceil_mult(H, 8)
+    Wp_im = _ceil_mult(W, 128)
+    if (Hp_im, Wp_im) != (H, W):
+        im = jnp.pad(im, ((0, 0), (0, Hp_im - H), (0, Wp_im - W), (0, 0)))
+
+    YB = min(_ceil_mult(y_band, 8), Hp_im)
+    XB = min(_ceil_mult(x_band, 128), Wp_im)
+
+    # Pad output to tile multiples and flatten each tile to a lane vector.
+    pho = (-Ho) % TILE_H
+    pwo = (-Wo) % TILE_W
+    if pho or pwo:
+        x_ndc = jnp.pad(x_ndc, ((0, 0), (0, pho), (0, pwo)))
+        y_ndc = jnp.pad(y_ndc, ((0, 0), (0, pho), (0, pwo)))
+    Hp, Wp = Ho + pho, Wo + pwo
+    nth, ntw = Hp // TILE_H, Wp // TILE_W
+
+    def tile_flatten(m):                    # (B, Hp, Wp) -> (B, nth, ntw, 1, 1024)
+        m = m.reshape(B, nth, TILE_H, ntw, TILE_W)
+        return m.transpose(0, 1, 3, 2, 4).reshape(B, nth, ntw, 1, TILE_N)
+
+    x_pix = tile_flatten((x_ndc.astype(jnp.float32) + 1.0) * (W / 2.0))
+    y_pix = tile_flatten((y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0))
+
+    imc = jnp.moveaxis(im.astype(jnp.float32), -1, 1)      # (B, C, H, W)
+
+    kernel = functools.partial(_warp_kernel, H=H, W=W, YB=YB, XB=XB, C=C)
+    grid = (B, nth, ntw)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # full (B, C, H, W)
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, C, TILE_N),
+                               lambda b, i, j: (b, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nth, ntw, C, TILE_N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, YB, XB), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_pix, y_pix, imc)
+
+    # (B, nth, ntw, C, 1024) -> (B, Ho, Wo, C)
+    out = out.reshape(B, nth, ntw, C, TILE_H, TILE_W)
+    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, Wp, C)
+    return out[:, :Ho, :Wo, :]

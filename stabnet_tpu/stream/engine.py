@@ -99,11 +99,35 @@ def assemble_input(state: StreamState, cur_gray: jax.Array,
     return jnp.concatenate(parts, axis=-1)
 
 
-def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig):
+def _use_pallas_default() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _sample(im: jax.Array, x_map: jax.Array, y_map: jax.Array,
+            use_pallas: bool) -> jax.Array:
+    if use_pallas:
+        from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas
+
+        return bilinear_sample_pallas(im, x_map, y_map)
+    return bilinear_sample(im, x_map, y_map)
+
+
+def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig,
+                 use_pallas: bool = False):
+    from stabnet_tpu.ops import black_mask, dense_maps, mesh_to_homographies
+    from stabnet_tpu.ops.warp import WarpResult
+
     theta = model.apply(variables, x, train=False)
     mesh = theta_to_mesh(theta, cfg.grid_h, cfg.grid_w, cfg.do_crop_rate)
     cur = x[..., cfg.cur_channel : cfg.cur_channel + 1].astype(jnp.float32)
-    return transformer(cur, mesh, cfg.grid_h, cfg.grid_w)
+    if not use_pallas:
+        return transformer(cur, mesh, cfg.grid_h, cfg.grid_w)
+    Hs = mesh_to_homographies(mesh, cfg.grid_h, cfg.grid_w)
+    x_map, y_map = dense_maps(Hs, cfg.height, cfg.width)
+    black = black_mask(x_map, y_map)
+    output = _sample(cur, x_map, y_map, use_pallas=True)
+    return WarpResult(output=output, black_pix=black, x_map=x_map,
+                      y_map=y_map, Hs=Hs)
 
 
 def smooth_maps(x_map: jax.Array, y_map: jax.Array,
@@ -123,7 +147,8 @@ def smooth_maps(x_map: jax.Array, y_map: jax.Array,
 
 
 def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
-               out_hw: Tuple[int, int], smooth_rate: int = 4) -> jax.Array:
+               out_hw: Tuple[int, int], smooth_rate: int = 4,
+               use_pallas: bool = False) -> jax.Array:
     """Warp full-resolution uint8 color frames by the (smoothed) NDC maps.
 
     color: (S, Hf, Wf, 3) uint8. Returns (S, Ho, Wo, 3) uint8.
@@ -138,14 +163,15 @@ def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
         xs = jax.image.resize(xs, (S, Ho, Wo), method="bilinear")
         ys = jax.image.resize(ys, (S, Ho, Wo), method="bilinear")
     img = color.astype(jnp.float32)
-    warped = bilinear_sample(img, xs, ys)
+    warped = _sample(img, xs, ys, use_pallas)
     return jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
 
 def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
                 cur_color: jax.Array, cfg: StabNetConfig, refine: int = 1,
                 out_hw: Optional[Tuple[int, int]] = None,
-                history_override: Optional[jax.Array] = None
+                history_override: Optional[jax.Array] = None,
+                use_pallas: bool = False
                 ) -> Tuple[StreamState, StepOutput]:
     """Process one frame per stream.  Pure function; jit over (state, frames).
 
@@ -165,7 +191,7 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
 
     warp = None
     for _ in range(max(refine, 1)):
-        warp = _net_forward(model, variables, x, cfg)
+        warp = _net_forward(model, variables, x, cfg, use_pallas=use_pallas)
         fed_back = warp.output[..., 0] + warp.black_pix * (-1.0)
         x = jnp.concatenate([x[..., :-1], fed_back[..., None]], axis=-1)
 
@@ -187,37 +213,93 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
     )
 
     out_hw = out_hw or (cur_color.shape[1], cur_color.shape[2])
-    warped = warp_color(cur_color, warp.x_map, warp.y_map, out_hw)
+    warped = warp_color(cur_color, warp.x_map, warp.y_map, out_hw,
+                        use_pallas=use_pallas)
     return new_state, StepOutput(
         output_gray=out_gray, black=black,
         x_map=warp.x_map, y_map=warp.y_map, warped_color=warped,
     )
 
 
+def stabilize_clip_device(model, variables, clip_gray: jax.Array,
+                          clip_color: jax.Array, cfg: StabNetConfig,
+                          refine: int = 1,
+                          out_hw: Optional[Tuple[int, int]] = None,
+                          use_pallas: bool = False
+                          ) -> Tuple[jax.Array, StreamState]:
+    """Stabilize whole clips with the per-frame loop as an on-device lax.scan.
+
+    The online recurrence (frame t needs the stabilized t-1 in its history)
+    is inherently sequential, but there is no reason to bounce through the
+    host every frame as the reference does (deploy_bundle.py:248-332): the
+    scan keeps the ring buffer, the net, and the full-res warp on device and
+    dispatches the WHOLE clip as one XLA program.  This is the throughput
+    path; `StreamEngine.step` is the frame-at-a-time latency path.
+
+    Args:
+      clip_gray: (S, T, H, W) model-scale gray frames (frame 0 warms up the
+        history; frames 1..T-1 are processed).
+      clip_color: (S, T, Hf, Wf, 3) uint8 full-res frames.
+
+    Returns:
+      (warped, final_state): warped (S, T-1, Ho, Wo, 3) uint8 stabilized
+      frames; final_state carries the accumulated black map for cropping.
+    """
+    S, T = clip_gray.shape[:2]
+    out_hw = out_hw or (clip_color.shape[2], clip_color.shape[3])
+    state0 = init_state(clip_gray[:, 0], cfg)
+
+    def body(state, xs):
+        cur_gray, cur_color = xs
+        new_state, out = stream_step(
+            model, variables, state, cur_gray, cur_color, cfg,
+            refine=refine, out_hw=out_hw, use_pallas=use_pallas,
+        )
+        return new_state, out.warped_color
+
+    xs = (
+        jnp.moveaxis(clip_gray[:, 1:], 1, 0),     # (T-1, S, H, W)
+        jnp.moveaxis(clip_color[:, 1:], 1, 0),    # (T-1, S, Hf, Wf, 3)
+    )
+    final_state, warped = jax.lax.scan(body, state0, xs)
+    return jnp.moveaxis(warped, 0, 1), final_state
+
+
 class StreamEngine:
     """Compiled online stabilizer over S concurrent streams."""
 
     def __init__(self, model, variables, cfg: StabNetConfig, refine: int = 1,
-                 out_hw: Optional[Tuple[int, int]] = None):
+                 out_hw: Optional[Tuple[int, int]] = None,
+                 use_pallas: Optional[bool] = None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.refine = refine
         self.out_hw = out_hw
+        if use_pallas is None:
+            use_pallas = _use_pallas_default()
+        self.use_pallas = use_pallas
         self._step = jax.jit(
             functools.partial(
-                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw
+                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw,
+                use_pallas=use_pallas,
             ),
             donate_argnames=("state",),
-            static_argnames=(),
         )
         self._step_override = jax.jit(
             functools.partial(
-                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw
+                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw,
+                use_pallas=use_pallas,
             ),
             donate_argnames=("state",),
         )
         self.timer = StageTimer()
+        self._clip = jax.jit(
+            functools.partial(
+                stabilize_clip_device, model, cfg=cfg, refine=refine,
+                out_hw=out_hw, use_pallas=use_pallas,
+            )
+        )
 
     def init(self, first_gray: np.ndarray) -> StreamState:
         return jax.jit(functools.partial(init_state, cfg=self.cfg))(
@@ -235,6 +317,13 @@ class StreamEngine:
             self.variables, state, jnp.asarray(cur_gray),
             jnp.asarray(cur_color), history_override=jnp.asarray(history_override),
         )
+
+
+    def stabilize_clip(self, clip_gray: np.ndarray, clip_color: np.ndarray
+                       ) -> Tuple[jax.Array, StreamState]:
+        """Whole-clip on-device stabilization (see stabilize_clip_device)."""
+        return self._clip(self.variables, jnp.asarray(clip_gray),
+                          jnp.asarray(clip_color))
 
 
 def crop_rectangle(all_black: np.ndarray) -> Tuple[int, int, int, int]:

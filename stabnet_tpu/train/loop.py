@@ -1,0 +1,115 @@
+"""Training driver: the full loop with eval, checkpoints, and metrics.
+
+Reference: train_bundle_nobm.py:199-357 — per-100-iter loss display with
+data-read vs. train-time split, per-500-iter held-out eval over 10 batches,
+per-5000-iter checkpoints, and the loss-gate schedule (which here lives inside
+the jitted step, stabnet_tpu/train/train.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from stabnet_tpu.config import StabNetConfig
+from stabnet_tpu.models import make_model
+from stabnet_tpu.parallel import data_mesh, shard_batch
+from stabnet_tpu.train import checkpoint as ckpt
+from stabnet_tpu.train.state import create_train_state
+from stabnet_tpu.train.train import make_eval_step, make_train_step
+from stabnet_tpu.utils import StageTimer, get_logger
+
+logger = get_logger()
+
+
+class MetricsWriter:
+    """Scalar metrics to a JSONL file (stands in for TensorBoard scalars;
+    reference: train_bundle_nobm.py:143-153)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+
+    def write(self, step: int, tag: str, values: Dict[str, float]):
+        import json
+
+        self._f.write(json.dumps({"step": step, "tag": tag, **values}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def train(cfg: StabNetConfig,
+          train_batches: Iterator,
+          test_batches: Optional[Iterator] = None,
+          restore: bool = False,
+          num_steps: Optional[int] = None,
+          use_mesh: bool = False,
+          seed: int = 0):
+    """Run training; returns the final TrainState.
+
+    Args:
+      train_batches / test_batches: iterators of augmented batches
+        (e.g. stabnet_tpu.data.InputPipeline).
+      restore: resume from the latest checkpoint in cfg.model_dir
+        (reference: --restore, train_bundle_nobm.py:36,204-206).
+      num_steps: overrides cfg.training_iter (for smoke runs).
+      use_mesh: shard the batch over all devices (data parallel).
+    """
+    model = make_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(seed))
+    if restore:
+        state = ckpt.restore(cfg.model_dir, state)
+
+    mesh = data_mesh() if use_mesh else None
+    step_fn = make_train_step(model, cfg, mesh=mesh)
+    eval_fn = make_eval_step(model, cfg, mesh=mesh)
+    metrics = MetricsWriter(cfg.log_dir)
+    timers = StageTimer()
+
+    total = num_steps if num_steps is not None else cfg.training_iter
+    start = int(state.step)
+    aux = None
+    for i in range(start, total):
+        with timers.stage("data"):
+            batch = next(train_batches)
+            if mesh is not None:
+                batch = shard_batch(
+                    jax.tree_util.tree_map(np.asarray, batch), mesh)
+        with timers.stage("step"):
+            state, aux = step_fn(state, batch)
+
+        if i % cfg.disp_freq == 0 or i == total - 1:
+            vals = {k: float(v) for k, v in aux.items()}
+            s = timers.summary()
+            logger.info(
+                "iter %d total=%.5f img=%.5f temp=%.5f (data %.1fms step %.1fms)",
+                i, vals["total"], vals.get("img1", 0.0), vals.get("temp", 0.0),
+                s.get("data", {}).get("mean_ms", 0.0),
+                s.get("step", {}).get("mean_ms", 0.0),
+            )
+            metrics.write(i, "train", vals)
+            timers.reset()
+
+        if test_batches is not None and (i % cfg.test_freq == 0 or i == total - 1):
+            losses = []
+            for _ in range(cfg.test_batches):
+                tb = next(test_batches)
+                if mesh is not None:
+                    tb = shard_batch(jax.tree_util.tree_map(np.asarray, tb), mesh)
+                ea = eval_fn(state, tb)
+                losses.append(float(ea["total"]))
+            test_loss = float(np.mean(losses))
+            logger.info("iter %d test_loss=%.5f", i, test_loss)
+            metrics.write(i, "test", {"total": test_loss})
+
+        if i > 0 and (i % cfg.save_freq == 0 or i == total - 1):
+            ckpt.save(cfg.model_dir, state)
+
+    metrics.close()
+    return state, aux

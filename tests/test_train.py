@@ -1,0 +1,91 @@
+"""Training step smoke tests: loss decreases structure, gates, DP sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabnet_tpu.config import get_config
+from stabnet_tpu.data import augment_batch, make_raw_batch
+from stabnet_tpu.models import make_model
+from stabnet_tpu.parallel import data_mesh, shard_batch
+from stabnet_tpu.train.state import create_train_state, lr_schedule
+from stabnet_tpu.train.train import (
+    loss_gates,
+    make_eval_step,
+    make_train_step,
+)
+
+CFG = get_config("tiny").replace(batch_size=2)
+
+
+def make_batch(seed=0):
+    raw = make_raw_batch(CFG, CFG.batch_size, seed=seed)
+    raw = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw
+    )
+    return augment_batch(jax.random.PRNGKey(seed), raw, CFG)
+
+
+def test_gate_schedule():
+    g0 = jax.tree_util.tree_map(float, loss_gates(jnp.asarray(0), CFG))
+    assert g0 == {"use_theta": 1.0, "use_temp": 0.0, "use_black": 0.0,
+                  "use_theta_only": 1.0}
+    g = jax.tree_util.tree_map(float, loss_gates(jnp.asarray(6000), CFG))
+    assert g == {"use_theta": 1.0, "use_temp": 1.0, "use_black": 1.0,
+                 "use_theta_only": 0.0}
+
+
+def test_lr_schedule_staircase():
+    sched = lr_schedule(CFG)
+    np.testing.assert_allclose(float(sched(0)), CFG.initial_learning_rate)
+    np.testing.assert_allclose(float(sched(CFG.step_size - 1)),
+                               CFG.initial_learning_rate)
+    np.testing.assert_allclose(float(sched(CFG.step_size)),
+                               CFG.initial_learning_rate * 0.1, rtol=1e-6)
+
+
+def test_train_step_runs_and_updates():
+    model = make_model(CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0))
+    step = make_train_step(model, CFG)
+    batch = make_batch()
+    new_state, aux = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(aux["total"]))
+    # Parameters changed.
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    # Batch stats updated.
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.batch_stats, new_state.batch_stats,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_eval_step_no_mutation():
+    model = make_model(CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0))
+    ev = make_eval_step(model, CFG)
+    aux = ev(state, make_batch())
+    assert np.isfinite(float(aux["total"]))
+
+
+def test_data_parallel_train_step():
+    mesh = data_mesh()
+    assert mesh.devices.size == 8, "conftest must provide 8 virtual devices"
+    cfg = CFG.replace(batch_size=8)
+    model = make_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, mesh=mesh)
+    raw = make_raw_batch(cfg, 8, seed=3)
+    raw = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw
+    )
+    batch = augment_batch(jax.random.PRNGKey(3), raw, cfg)
+    batch = shard_batch(jax.tree_util.tree_map(np.asarray, batch), mesh)
+    new_state, aux = step(state, batch)
+    assert np.isfinite(float(aux["total"]))
+    assert int(new_state.step) == 1
