@@ -32,3 +32,12 @@ _=float(jnp.sum(r[:, ::53, ::97]))
 print(f"pallas 720p warp: {(time.perf_counter()-t0)/n*1e3:.3f} ms", flush=True)
 refb = np.asarray(bilinear_sample(im, xm, ym))
 print("720p max diff", np.abs(refb-np.asarray(r)).max(), flush=True)
+
+# non-exact color-path timing
+f2 = jax.jit(lambda im,x,y: bilinear_sample_pallas(im,x,y,interpret=False,exact=False))
+r2 = f2(im,xm,ym); _=float(jnp.sum(r2[:, ::53, ::97]))
+t0=time.perf_counter()
+for _ in range(n): r2 = f2(im,xm,ym)
+_=float(jnp.sum(r2[:, ::53, ::97]))
+print(f"pallas 720p warp bf16: {(time.perf_counter()-t0)/n*1e3:.3f} ms", flush=True)
+print("bf16 max abs err (0..1 scale):", np.abs(refb-np.asarray(r2)).max(), flush=True)

@@ -37,9 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
 TILE_W = 128
-TILE_N = TILE_H * TILE_W
 
 
 def _ceil_mult(x: int, m: int) -> int:
@@ -47,10 +45,11 @@ def _ceil_mult(x: int, m: int) -> int:
 
 
 def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
-                 H: int, W: int, YB: int, XB: int, C: int):
+                 H: int, W: int, YB: int, XB: int, C: int, exact: bool):
     """One (8, 128) output tile, all channels.  Maps arrive as (1, 1024)."""
-    x = x_ref[0, 0, 0]                            # (1, TILE_N) pixel-space x
+    x = x_ref[0, 0, 0]                            # (1, N) pixel-space x
     y = y_ref[0, 0, 0]
+    N = x.shape[-1]                               # tile_h * TILE_W
 
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -80,12 +79,12 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
     xrel = x - xbase.astype(jnp.float32)          # (1, TILE_N)
     yrel = y - ybase.astype(jnp.float32)
 
-    cols = jax.lax.broadcasted_iota(jnp.float32, (XB, TILE_N), 0)
-    rows = jax.lax.broadcasted_iota(jnp.float32, (YB, TILE_N), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (XB, N), 0).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (YB, N), 0).astype(jnp.float32)
 
     # Horizontal / vertical interpolation matrices (hat * validity).
-    Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)) * vx    # (XB, TILE_N)
-    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows)) * vy    # (YB, TILE_N)
+    Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)) * vx    # (XB, N)
+    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows)) * vy    # (YB, N)
 
     copy.wait()
 
@@ -97,7 +96,8 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
             win[c], Wh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.HIGHEST if exact
+                       else jax.lax.Precision.DEFAULT),
         )                                         # (YB, TILE_N)
         outs.append(jnp.sum(G * Wv, axis=0, keepdims=True))   # (1, TILE_N)
 
@@ -105,25 +105,33 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("y_band", "x_band", "interpret")
+    jax.jit,
+    static_argnames=("y_band", "x_band", "interpret", "tile_h", "exact"),
 )
 def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                            y_band: int = 32, x_band: int = 384,
-                           interpret: Optional[bool] = None) -> jax.Array:
+                           interpret: Optional[bool] = None,
+                           tile_h: int = 8, exact: bool = True) -> jax.Array:
     """Drop-in fast path for `ops.warp.bilinear_sample` (inference only).
 
     Args:
       im: (B, H, W, C) float32 input images.
       x_ndc, y_ndc: (B, Ho, Wo) NDC sample maps ((x+1)*W/2 pixel convention).
       y_band, x_band: input-window extents per output tile; samples whose
-        coordinates spread beyond the window within one (8, 128) tile
+        coordinates spread beyond the window within one (tile_h, 128) tile
         contribute zero (see module docstring).
+      tile_h: output rows per kernel program (8 or 16).
+      exact: HIGHEST-precision matmuls (f32-faithful, ~1e-6 vs the XLA path).
+        With False the MXU runs bf16 passes (~1e-3 relative) — fine when the
+        result is rounded to uint8 (the production color warp), 2x faster.
 
     Returns:
       (B, Ho, Wo, C) sampled images, numerically equal to the XLA path for
       in-window maps (matmul rounding ~1e-6).
     """
     B, H, W, C = im.shape
+    TILE_H = tile_h
+    TILE_N = TILE_H * TILE_W
     Ho, Wo = x_ndc.shape[1], x_ndc.shape[2]
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -156,7 +164,8 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
 
     imc = jnp.moveaxis(im.astype(jnp.float32), -1, 1)      # (B, C, H, W)
 
-    kernel = functools.partial(_warp_kernel, H=H, W=W, YB=YB, XB=XB, C=C)
+    kernel = functools.partial(_warp_kernel, H=H, W=W, YB=YB, XB=XB, C=C,
+                               exact=exact)
     grid = (B, nth, ntw)
 
     out = pl.pallas_call(
@@ -177,6 +186,12 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
             pltpu.VMEM((C, YB, XB), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # Raising the scoped-vmem limit measurably hurts Mosaic's pipelining;
+        # only do it when the larger tile actually needs it.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+            if TILE_H > 8 else pltpu.CompilerParams()
+        ),
         interpret=interpret,
     )(x_pix, y_pix, imc)
 

@@ -104,11 +104,11 @@ def _use_pallas_default() -> bool:
 
 
 def _sample(im: jax.Array, x_map: jax.Array, y_map: jax.Array,
-            use_pallas: bool) -> jax.Array:
+            use_pallas: bool, exact: bool = True) -> jax.Array:
     if use_pallas:
         from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas
 
-        return bilinear_sample_pallas(im, x_map, y_map)
+        return bilinear_sample_pallas(im, x_map, y_map, exact=exact)
     return bilinear_sample(im, x_map, y_map)
 
 
@@ -163,7 +163,8 @@ def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
         xs = jax.image.resize(xs, (S, Ho, Wo), method="bilinear")
         ys = jax.image.resize(ys, (S, Ho, Wo), method="bilinear")
     img = color.astype(jnp.float32)
-    warped = _sample(img, xs, ys, use_pallas)
+    # exact=False: bf16 MXU passes; error << 1 uint8 LSB after rounding.
+    warped = _sample(img, xs, ys, use_pallas, exact=False)
     return jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
 
