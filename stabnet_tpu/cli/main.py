@@ -50,6 +50,8 @@ def cmd_train(args):
     cfg = get_config(args.config)
     if args.model_dir:
         cfg = cfg.replace(model_dir=args.model_dir)
+    if args.log_dir:
+        cfg = cfg.replace(log_dir=args.log_dir)
     train_it = InputPipeline(os.path.join(args.data, "train"), cfg, seed=args.seed)
     test_dir = os.path.join(args.data, "test")
     test_it = (
@@ -57,7 +59,8 @@ def cmd_train(args):
         if os.path.isdir(test_dir) else None
     )
     train(cfg, iter(train_it), test_it and iter(test_it), restore=args.restore,
-          num_steps=args.steps, use_mesh=args.data_parallel, seed=args.seed)
+          num_steps=args.steps, use_mesh=args.data_parallel, seed=args.seed,
+          debug_vis=args.debug_vis)
 
 
 def cmd_stabilize(args):
@@ -175,7 +178,10 @@ def main(argv=None):
     p.add_argument("--config", default="v2_93")
     p.add_argument("--data", default="data/")
     p.add_argument("--model-dir", default=None)
+    p.add_argument("--log-dir", default=None)
     p.add_argument("--restore", action="store_true")
+    p.add_argument("--debug-vis", action="store_true",
+                   help="dump per-eval debug mosaics (save_warpped_features equivalent)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)

@@ -50,7 +50,8 @@ def train(cfg: StabNetConfig,
           restore: bool = False,
           num_steps: Optional[int] = None,
           use_mesh: bool = False,
-          seed: int = 0):
+          seed: int = 0,
+          debug_vis: bool = False):
     """Run training; returns the final TrainState.
 
     Args:
@@ -95,6 +96,18 @@ def train(cfg: StabNetConfig,
             )
             metrics.write(i, "train", vals)
             timers.reset()
+
+        if debug_vis and (i % cfg.test_freq == 0 or i == total - 1):
+            # Reference equivalent: save_warpped_features dumps
+            # (train_bundle_nobm.py:41-94,306,321).
+            from stabnet_tpu.models import stabnet
+            from stabnet_tpu.train.visualize import save_debug_batch
+
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            out1 = stabnet.forward(
+                model, variables, batch["x1"], cfg, train=False)
+            save_debug_batch(os.path.join(cfg.log_dir, "debug"), batch, out1,
+                             cfg, i)
 
         if test_batches is not None and (i % cfg.test_freq == 0 or i == total - 1):
             losses = []
