@@ -37,7 +37,7 @@ def main():
 
     out_h, out_w = 720, 1280
     T = 61           # frames per clip (T-1 processed)
-    S = 4            # concurrent streams in batch mode
+    S = 8            # concurrent streams in batch mode
     repeats = 2
 
     uniq = make_video(8, out_h, out_w, seed=0, jitter=4.0)
@@ -86,7 +86,7 @@ def main():
 
     stats = {
         "fps_720p_single_stream": fps_s1,
-        "fps_720p_batch4_per_chip": fps_batch,
+        "fps_720p_batch8_per_chip": fps_batch,
         "online_step_latency_p50_ms": float(np.percentile(lat_ms, 50)),
         "device": str(jax.devices()[0]),
     }

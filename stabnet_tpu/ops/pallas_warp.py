@@ -45,7 +45,8 @@ def _ceil_mult(x: int, m: int) -> int:
 
 
 def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
-                 H: int, W: int, YB: int, XB: int, C: int, exact: bool):
+                 H: int, W: int, YB: int, XB: int, C: int, exact: bool,
+                 out_uint8: bool):
     """One (8, 128) output tile, all channels.  Maps arrive as (1, 1024)."""
     x = x_ref[0, 0, 0]                            # (1, N) pixel-space x
     y = y_ref[0, 0, 0]
@@ -82,18 +83,28 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
     cols = jax.lax.broadcasted_iota(jnp.int32, (XB, N), 0).astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (YB, N), 0).astype(jnp.float32)
 
-    # Horizontal / vertical interpolation matrices (hat * validity).
-    Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)) * vx    # (XB, N)
-    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows)) * vy    # (YB, N)
+    # Horizontal / vertical interpolation matrices (hat * validity).  In the
+    # non-exact (uint8 output) path the weights are built in bf16: halves the
+    # VMEM footprint of the (XB, N) matrices — the weight quantization
+    # (~2^-8 relative) stays below one uint8 LSB after rounding.
+    wdt = jnp.float32 if exact else jnp.bfloat16
+    Wh = (jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)) * vx).astype(wdt)
+    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows)) * vy    # (YB, N) f32
 
     copy.wait()
 
     outs = []
     for c in range(C):                            # channels share the weights
+        w = win[c]
+        if w.dtype != jnp.float32:                # uint8 windows: cast on-chip
+            # Mosaic has no direct u8->f32 cast; go through int32.
+            w = w.astype(jnp.int32).astype(jnp.float32)
+        if not exact:
+            w = w.astype(jnp.bfloat16)
         # (YB, XB) @ (XB, TILE_N) on the MXU: every band row horizontally
         # interpolated at every output pixel of the tile.
         G = jax.lax.dot_general(
-            win[c], Wh,
+            w, Wh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.HIGHEST if exact
@@ -101,17 +112,107 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
         )                                         # (YB, TILE_N)
         outs.append(jnp.sum(G * Wv, axis=0, keepdims=True))   # (1, TILE_N)
 
-    out_ref[:] = jnp.concatenate(outs, axis=0).reshape(1, 1, 1, C, -1)
+    vals = jnp.concatenate(outs, axis=0)          # (C, TILE_N)
+    if out_uint8:
+        # Mosaic has no direct f32->u8 cast; round+clip then go through int32.
+        vals = jnp.clip(jnp.round(vals), 0.0, 255.0)
+        vals = vals.astype(jnp.int32).astype(jnp.uint8)
+    out_ref[:] = vals.reshape(1, 1, 1, C, -1)
+
+
+def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
+                 y_band: int, x_band: int, interpret: Optional[bool],
+                 tile_h: int, exact: bool, out_uint8: bool,
+                 tile_w: int = TILE_W) -> jax.Array:
+    """Shared core: channels-first image (B, C, H, W), any sample dtype.
+
+    tile_w trades MXU/VPU work against window width: a narrower tile needs a
+    narrower x-window (the weight-matrix build is O(window) per output pixel),
+    at the cost of more grid programs.  tile_h * tile_w must be a multiple of
+    128 (the flattened tile is a lane vector)."""
+    B, C, H, W = imc.shape
+    TILE_H = tile_h
+    TILE_Wl = tile_w
+    TILE_N = TILE_H * TILE_Wl
+    assert TILE_N % 128 == 0, (tile_h, tile_w)
+    Ho, Wo = x_ndc.shape[1], x_ndc.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    # Pad the input so DMA windows can be tiling-aligned; sample indices are
+    # clamped to the ORIGINAL extent, so the padding is never read as data.
+    Hp_im = _ceil_mult(H, 8)
+    Wp_im = _ceil_mult(W, 128)
+    if (Hp_im, Wp_im) != (H, W):
+        imc = jnp.pad(imc, ((0, 0), (0, 0), (0, Hp_im - H), (0, Wp_im - W)))
+
+    YB = min(_ceil_mult(y_band, 8), Hp_im)
+    XB = min(_ceil_mult(x_band, 128), Wp_im)
+
+    # Pad output to tile multiples and flatten each tile to a lane vector.
+    pho = (-Ho) % TILE_H
+    pwo = (-Wo) % TILE_Wl
+    if pho or pwo:
+        x_ndc = jnp.pad(x_ndc, ((0, 0), (0, pho), (0, pwo)))
+        y_ndc = jnp.pad(y_ndc, ((0, 0), (0, pho), (0, pwo)))
+    Hp, Wp = Ho + pho, Wo + pwo
+    nth, ntw = Hp // TILE_H, Wp // TILE_Wl
+
+    def tile_flatten(m):                    # (B, Hp, Wp) -> (B, nth, ntw, 1, 1024)
+        m = m.reshape(B, nth, TILE_H, ntw, TILE_Wl)
+        return m.transpose(0, 1, 3, 2, 4).reshape(B, nth, ntw, 1, TILE_N)
+
+    x_pix = tile_flatten((x_ndc.astype(jnp.float32) + 1.0) * (W / 2.0))
+    y_pix = tile_flatten((y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0))
+
+    kernel = functools.partial(_warp_kernel, H=H, W=W, YB=YB, XB=XB, C=C,
+                               exact=exact, out_uint8=out_uint8)
+    grid = (B, nth, ntw)
+    out_dtype = jnp.uint8 if out_uint8 else jnp.float32
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # full (B, C, H, W)
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, C, TILE_N),
+                               lambda b, i, j: (b, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nth, ntw, C, TILE_N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, YB, XB), imc.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        # Raising the scoped-vmem limit measurably hurts Mosaic's pipelining;
+        # only do it when the weight matrices are genuinely large.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+            if TILE_N * XB * 4 > 2 * 1024 * 1024 else pltpu.CompilerParams()
+        ),
+        interpret=interpret,
+    )(x_pix, y_pix, imc)
+
+    # (B, nth, ntw, C, 1024) -> (B, Ho, Wo, C)
+    out = out.reshape(B, nth, ntw, C, TILE_H, TILE_Wl)
+    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, Wp, C)
+    return out[:, :Ho, :Wo, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("y_band", "x_band", "interpret", "tile_h", "exact"),
+    static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
+                     "exact"),
 )
 def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
-                           y_band: int = 32, x_band: int = 384,
+                           y_band: int = 32, x_band: int = 256,
                            interpret: Optional[bool] = None,
-                           tile_h: int = 8, exact: bool = True) -> jax.Array:
+                           tile_h: int = 16, tile_w: int = 64,
+                           exact: bool = True) -> jax.Array:
     """Drop-in fast path for `ops.warp.bilinear_sample` (inference only).
 
     Args:
@@ -129,73 +230,30 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
       (B, Ho, Wo, C) sampled images, numerically equal to the XLA path for
       in-window maps (matmul rounding ~1e-6).
     """
-    B, H, W, C = im.shape
-    TILE_H = tile_h
-    TILE_N = TILE_H * TILE_W
-    Ho, Wo = x_ndc.shape[1], x_ndc.shape[2]
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-
-    # Pad the input so DMA windows can be tiling-aligned; sample indices are
-    # clamped to the ORIGINAL extent, so the padding is never read as data.
-    Hp_im = _ceil_mult(H, 8)
-    Wp_im = _ceil_mult(W, 128)
-    if (Hp_im, Wp_im) != (H, W):
-        im = jnp.pad(im, ((0, 0), (0, Hp_im - H), (0, Wp_im - W), (0, 0)))
-
-    YB = min(_ceil_mult(y_band, 8), Hp_im)
-    XB = min(_ceil_mult(x_band, 128), Wp_im)
-
-    # Pad output to tile multiples and flatten each tile to a lane vector.
-    pho = (-Ho) % TILE_H
-    pwo = (-Wo) % TILE_W
-    if pho or pwo:
-        x_ndc = jnp.pad(x_ndc, ((0, 0), (0, pho), (0, pwo)))
-        y_ndc = jnp.pad(y_ndc, ((0, 0), (0, pho), (0, pwo)))
-    Hp, Wp = Ho + pho, Wo + pwo
-    nth, ntw = Hp // TILE_H, Wp // TILE_W
-
-    def tile_flatten(m):                    # (B, Hp, Wp) -> (B, nth, ntw, 1, 1024)
-        m = m.reshape(B, nth, TILE_H, ntw, TILE_W)
-        return m.transpose(0, 1, 3, 2, 4).reshape(B, nth, ntw, 1, TILE_N)
-
-    x_pix = tile_flatten((x_ndc.astype(jnp.float32) + 1.0) * (W / 2.0))
-    y_pix = tile_flatten((y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0))
-
     imc = jnp.moveaxis(im.astype(jnp.float32), -1, 1)      # (B, C, H, W)
+    return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
+                        tile_h, exact, out_uint8=False, tile_w=tile_w)
 
-    kernel = functools.partial(_warp_kernel, H=H, W=W, YB=YB, XB=XB, C=C,
-                               exact=exact)
-    grid = (B, nth, ntw)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # full (B, C, H, W)
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, C, TILE_N),
-                               lambda b, i, j: (b, i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nth, ntw, C, TILE_N), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((C, YB, XB), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        # Raising the scoped-vmem limit measurably hurts Mosaic's pipelining;
-        # only do it when the larger tile actually needs it.
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
-            if TILE_H > 8 else pltpu.CompilerParams()
-        ),
-        interpret=interpret,
-    )(x_pix, y_pix, imc)
+@functools.partial(
+    jax.jit,
+    static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
+                     "exact"),
+)
+def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
+                  y_band: int = 32, x_band: int = 256,
+                  interpret: Optional[bool] = None,
+                  tile_h: int = 16, tile_w: int = 64,
+                  exact: bool = False) -> jax.Array:
+    """Production color path: channels-FIRST uint8 in, uint8 out.
 
-    # (B, nth, ntw, C, 1024) -> (B, Ho, Wo, C)
-    out = out.reshape(B, nth, ntw, C, TILE_H, TILE_W)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, Wp, C)
-    return out[:, :Ho, :Wo, :]
+    Avoids the 11 MB/frame f32 cast + layout transpose inside the streaming
+    loop: the caller pre-transposes whole clips to (B, C, H, W) uint8 once,
+    windows are DMA'd as uint8 (4x less traffic) and cast on-chip, and
+    rounding to uint8 happens in the kernel epilogue.
+
+    Returns (B, Ho, Wo, C) uint8.
+    """
+    assert imc.dtype == jnp.uint8
+    return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
+                        tile_h, exact, out_uint8=True, tile_w=tile_w)

@@ -46,7 +46,10 @@ class StreamState(NamedTuple):
 
     frames: jax.Array     # (S, L, H, W) stabilized history, model scale
     masks: jax.Array      # (S, L, H, W) black-border history
-    ptr: jax.Array        # (S,) int32 index of the next frame to process
+    ptr: jax.Array        # () int32 index of the next frame to process.
+                          #    Scalar: all streams advance in lock-step, so
+                          #    history reads lower to dynamic slices instead
+                          #    of gathers (XLA's gather is a serial loop).
     all_black: jax.Array  # (S, H, W) int32 accumulated black mask counts
 
 
@@ -68,17 +71,22 @@ def init_state(first_gray: jax.Array, cfg: StabNetConfig) -> StreamState:
     L = cfg.history_len
     frames = jnp.broadcast_to(first_gray[:, None], (S, L, H, W)).astype(jnp.float32)
     masks = jnp.zeros((S, L, H, W), jnp.float32)
-    ptr = jnp.ones((S,), jnp.int32)  # frame 0 is written through as-is
+    ptr = jnp.ones((), jnp.int32)  # frame 0 is written through as-is
     all_black = jnp.zeros((S, H, W), jnp.int32)
     return StreamState(frames, masks, ptr, all_black)
 
 
-def _gather_history(ring: jax.Array, ptr: jax.Array,
-                    offsets: jax.Array) -> jax.Array:
-    """ring: (S, L, H, W); ptr: (S,); offsets: (K,) -> (S, K, H, W)."""
+def _gather_history(ring: jax.Array, ptr: jax.Array, offsets) -> jax.Array:
+    """ring: (S, L, H, W); ptr: scalar; offsets: list[int] -> (S, K, H, W).
+
+    One dynamic slice per (static) offset — never an XLA gather, which lowers
+    to a serial dynamic-slice loop on TPU."""
     L = ring.shape[1]
-    idx = (ptr[:, None] - offsets[None, :]) % L               # (S, K)
-    return jax.vmap(lambda r, i: r[i])(ring, idx)
+    slices = [
+        jax.lax.dynamic_index_in_dim(ring, (ptr - i) % L, axis=1, keepdims=True)
+        for i in offsets
+    ]
+    return jnp.concatenate(slices, axis=1)
 
 
 def assemble_input(state: StreamState, cur_gray: jax.Array,
@@ -88,7 +96,7 @@ def assemble_input(state: StreamState, cur_gray: jax.Array,
     Channel order matches training and deploy: history masks (offsets
     ascending), history frames, current frame (deploy_bundle.py:259-274).
     """
-    offsets = jnp.asarray([i for i in cfg.indices if i > 0], jnp.int32)
+    offsets = [i for i in cfg.indices if i > 0]
     hist_f = _gather_history(state.frames, state.ptr, offsets)
     parts = []
     if cfg.input_mask:
@@ -130,6 +138,36 @@ def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig,
                       y_map=y_map, Hs=Hs)
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear half-pixel-center resize weights."""
+    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0.0, n_in - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    f = (src - lo).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), lo] += 1.0 - f
+    M[np.arange(n_out), hi] += f
+    return M
+
+
+def resize_bilinear(m: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Separable bilinear resize of (S, H, W) maps as two static matmuls.
+
+    jax.image.resize lowers to gather on TPU for these shapes; two einsums
+    with precomputed weight matrices keep it on the MXU.
+    """
+    S, H, W = m.shape
+    Ho, Wo = out_hw
+    if (H, W) == (Ho, Wo):
+        return m
+    Rr = jnp.asarray(_resize_matrix(H, Ho))
+    Rc = jnp.asarray(_resize_matrix(W, Wo))
+    m = jnp.einsum("oh,shw->sow", Rr, m, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,sow->sop", Rc, m, precision=jax.lax.Precision.HIGHEST)
+
+
 def smooth_maps(x_map: jax.Array, y_map: jax.Array,
                 rate: int = 4) -> Tuple[jax.Array, jax.Array]:
     """Low-pass the dense maps by 4x down/up resampling.
@@ -140,31 +178,46 @@ def smooth_maps(x_map: jax.Array, y_map: jax.Array,
     S, H, W = x_map.shape
 
     def smooth(m):
-        small = jax.image.resize(m, (S, H // rate, W // rate), method="bilinear")
-        return jax.image.resize(small, (S, H, W), method="bilinear")
+        small = resize_bilinear(m, (H // rate, W // rate))
+        return resize_bilinear(small, (H, W))
 
     return smooth(x_map), smooth(y_map)
 
 
 def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
                out_hw: Tuple[int, int], smooth_rate: int = 4,
-               use_pallas: bool = False) -> jax.Array:
+               use_pallas: bool = False,
+               channels_first: bool = False) -> jax.Array:
     """Warp full-resolution uint8 color frames by the (smoothed) NDC maps.
 
-    color: (S, Hf, Wf, 3) uint8. Returns (S, Ho, Wo, 3) uint8.
-    The NDC maps are resolution independent; they are resampled to the output
-    size and used to sample the full-res frame directly on device (the
-    reference warps a downscaled 512x288 frame on host instead).
+    color: (S, Hf, Wf, 3) uint8, or (S, 3, Hf, Wf) when `channels_first`
+    (the whole-clip scan pre-transposes once so no 11 MB/frame layout change
+    happens inside the loop).  Returns (S, Ho, Wo, 3) uint8.
+
+    The NDC maps are resolution independent: they are low-passed at model
+    resolution (4x down), then resampled straight to the output size and used
+    to sample the full-res frame on device (the reference warps a downscaled
+    512x288 frame on host instead).
     """
-    S = color.shape[0]
+    S, H, W = x_map.shape
     Ho, Wo = out_hw
-    xs, ys = smooth_maps(x_map, y_map, smooth_rate)
-    if (Ho, Wo) != xs.shape[1:]:
-        xs = jax.image.resize(xs, (S, Ho, Wo), method="bilinear")
-        ys = jax.image.resize(ys, (S, Ho, Wo), method="bilinear")
-    img = color.astype(jnp.float32)
-    # exact=False: bf16 MXU passes; error << 1 uint8 LSB after rounding.
-    warped = _sample(img, xs, ys, use_pallas, exact=False)
+    # Down 4x (the low-pass), then straight to the output resolution — the
+    # smoothed signal is band-limited, so the intermediate up-sample of the
+    # reference pipeline is redundant work.
+    rate = smooth_rate
+    xs = resize_bilinear(x_map, (H // rate, W // rate))
+    ys = resize_bilinear(y_map, (H // rate, W // rate))
+    xs = resize_bilinear(xs, (Ho, Wo))
+    ys = resize_bilinear(ys, (Ho, Wo))
+    if use_pallas:
+        from stabnet_tpu.ops.pallas_warp import warp_uint8_cf
+
+        imc = color if channels_first else jnp.moveaxis(color, -1, 1)
+        # uint8 window DMA + on-chip cast + uint8 epilogue; bf16 MXU passes
+        # (error << 1 uint8 LSB after rounding).
+        return warp_uint8_cf(imc, xs, ys)
+    img = (jnp.moveaxis(color, 1, -1) if channels_first else color)
+    warped = bilinear_sample(img.astype(jnp.float32), xs, ys)
     return jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
 
@@ -172,7 +225,8 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
                 cur_color: jax.Array, cfg: StabNetConfig, refine: int = 1,
                 out_hw: Optional[Tuple[int, int]] = None,
                 history_override: Optional[jax.Array] = None,
-                use_pallas: bool = False
+                use_pallas: bool = False,
+                color_channels_first: bool = False
                 ) -> Tuple[StreamState, StepOutput]:
     """Process one frame per stream.  Pure function; jit over (state, frames).
 
@@ -204,7 +258,8 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
     slot = state.ptr % L
 
     def write(ring, value):
-        return jax.vmap(lambda r, s, v: r.at[s].set(v))(ring, slot, value)
+        # dynamic_update_slice on the (lock-step) scalar slot.
+        return jax.lax.dynamic_update_index_in_dim(ring, value, slot, axis=1)
 
     new_state = StreamState(
         frames=write(state.frames, new_frame),
@@ -213,9 +268,13 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
         all_black=state.all_black + jnp.round(black).astype(jnp.int32),
     )
 
-    out_hw = out_hw or (cur_color.shape[1], cur_color.shape[2])
+    if out_hw is None:
+        out_hw = ((cur_color.shape[2], cur_color.shape[3])
+                  if color_channels_first
+                  else (cur_color.shape[1], cur_color.shape[2]))
     warped = warp_color(cur_color, warp.x_map, warp.y_map, out_hw,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas,
+                        channels_first=color_channels_first)
     return new_state, StepOutput(
         output_gray=out_gray, black=black,
         x_map=warp.x_map, y_map=warp.y_map, warped_color=warped,
@@ -255,12 +314,18 @@ def stabilize_clip_device(model, variables, clip_gray: jax.Array,
         new_state, out = stream_step(
             model, variables, state, cur_gray, cur_color, cfg,
             refine=refine, out_hw=out_hw, use_pallas=use_pallas,
+            color_channels_first=use_pallas,
         )
         return new_state, out.warped_color
 
+    color_seq = jnp.moveaxis(clip_color[:, 1:], 1, 0)  # (T-1, S, Hf, Wf, 3)
+    if use_pallas:
+        # One whole-clip transpose to channels-first uint8: the per-frame
+        # kernel then DMAs uint8 windows directly (no in-loop layout change).
+        color_seq = jnp.moveaxis(color_seq, -1, 2)     # (T-1, S, 3, Hf, Wf)
     xs = (
-        jnp.moveaxis(clip_gray[:, 1:], 1, 0),     # (T-1, S, H, W)
-        jnp.moveaxis(clip_color[:, 1:], 1, 0),    # (T-1, S, Hf, Wf, 3)
+        jnp.moveaxis(clip_gray[:, 1:], 1, 0),          # (T-1, S, H, W)
+        color_seq,
     )
     final_state, warped = jax.lax.scan(body, state0, xs)
     return jnp.moveaxis(warped, 0, 1), final_state

@@ -40,7 +40,7 @@ def test_ring_buffer_semantics():
     L = CFG.history_len
     frames = state.frames
     for t in range(1, 5):
-        slot = int(state.ptr[0]) % L
+        slot = int(state.ptr) % L
         frames = frames.at[:, slot].set(float(t) / 10)
         state = state._replace(frames=frames, ptr=state.ptr + 1)
     x = assemble_input(state, jnp.zeros((1, CFG.height, CFG.width)), CFG)
@@ -106,4 +106,4 @@ def test_multi_stream_lockstep():
         ])
         state, out = engine.step(state, cur_gray, clips[:, t])
         assert out.warped_color.shape == (2, CFG.height, CFG.width, 3)
-    assert int(state.ptr[0]) == 4
+    assert int(state.ptr) == 4
