@@ -161,6 +161,15 @@ def cmd_convert_data(args):
     print(f"converted {n} examples -> {args.out}")
 
 
+def cmd_inspect_data(args):
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.data.visualize import inspect_dataset
+
+    inspect_dataset(args.records, args.out, get_config(args.config),
+                    num=args.num)
+    print(f"wrote inspection dumps -> {args.out}")
+
+
 def cmd_make_synthetic(args):
     from stabnet_tpu.config import get_config
     from stabnet_tpu.data.records import write_synthetic_dataset
@@ -206,6 +215,15 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--config", default="v2_93")
     p.set_defaults(fn=cmd_convert_data)
+
+    p = sub.add_parser("inspect-data",
+                       help="dump raw+augmented examples as images "
+                            "(get_data_mini_after run()/test() equivalent)")
+    p.add_argument("--records", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num", type=int, default=2)
+    p.add_argument("--config", default="v2_93")
+    p.set_defaults(fn=cmd_inspect_data)
 
     p = sub.add_parser("make-synthetic", help="generate a synthetic dataset")
     p.add_argument("--out", required=True)
