@@ -10,7 +10,8 @@ cfg = get_config("v2_93")
 model = make_model(cfg)
 state = create_train_state(model, cfg, jax.random.PRNGKey(0))
 raw = make_raw_batch(cfg, cfg.batch_size, seed=0)
-raw = jax.tree_util.tree_map(lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw)
+from stabnet_tpu.data import prepare_raw
+raw = prepare_raw(raw)
 aug = jax.jit(lambda k, r: augment_batch(k, r, cfg))
 key = jax.random.PRNGKey(1)
 

@@ -13,7 +13,8 @@ step = make_train_step(model, cfg)
 
 print("generating synthetic batch...", flush=True)
 raw = make_raw_batch(cfg, cfg.batch_size, seed=0)
-raw = jax.tree_util.tree_map(lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw)
+from stabnet_tpu.data import prepare_raw
+raw = prepare_raw(raw)
 aug = jax.jit(lambda k, r: augment_batch(k, r, cfg))
 key = jax.random.PRNGKey(1)
 batch = aug(key, raw)

@@ -95,9 +95,13 @@ def iterate_reference_examples(record_dir: str, cfg: StabNetConfig
 
         m1, k1 = matches("feature_matches1")
         m2, k2 = matches("feature_matches2")
+        def to_u8(stack):
+            arr = np.stack(stack, axis=-1)
+            return np.clip(np.round((arr + 0.5) * 255.0), 0, 255).astype(np.uint8)
+
         yield {
-            "stable": np.stack(stable, axis=-1).astype(np.float32),
-            "unstable": np.stack(unstable, axis=-1).astype(np.float32),
+            "stable": to_u8(stable),
+            "unstable": to_u8(unstable),
             "flow": flow.astype(np.float32),
             "matches1": m1, "mask1": k1, "matches2": m2, "mask2": k2,
         }

@@ -6,6 +6,7 @@ from stabnet_tpu.data.augment import (
     augment_batch,
     augment_example,
     draw_params,
+    prepare_raw,
     warp_flow,
     warp_img,
     warp_points,
@@ -28,6 +29,7 @@ __all__ = [
     "augment_example",
     "batch_iterator",
     "draw_params",
+    "prepare_raw",
     "iterate_examples",
     "list_shards",
     "make_raw_batch",

@@ -13,8 +13,9 @@ on device — the host only decodes and batches raw frames.  Randomness is
 
 Intentional deviations from the reference (no checkpoint-parity constraint on
 the input pipeline; both noted for the record):
-  * resize uses half-pixel-center bilinear (jax.image.resize) instead of TF1's
-    legacy corner-scaled bilinear;
+  * resize uses half-pixel-center bilinear (static-matrix contractions on the
+    MXU; jax.image.resize would lower to a serial gather loop on TPU) instead
+    of TF1's legacy corner-scaled bilinear;
   * the crop/flip coordinate fix-up for flow/points uses the geometrically
     correct per-axis scale (w-ratio for x, h-ratio for y); the reference uses
     the h-ratio for both axes (get_data_mini_after.py:40-41,57-58), which only
@@ -29,6 +30,22 @@ import jax
 import jax.numpy as jnp
 
 from stabnet_tpu.config import StabNetConfig
+from stabnet_tpu.ops.resize import resize_crop_hwc
+
+
+def prepare_raw(raw):
+    """Normalize a host raw batch's dtypes for device transfer.
+
+    uint8 frames and bool masks stay compact (uint8 frames are converted to
+    model scale on device inside `augment_example`); everything else becomes
+    float32.
+    """
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda a: a if a.dtype in (np.bool_, np.uint8) else a.astype(np.float32),
+        raw,
+    )
 
 
 class AugParams(NamedTuple):
@@ -66,11 +83,8 @@ def warp_img(img: jax.Array, p: AugParams, cfg: StabNetConfig) -> jax.Array:
     warp_img with shared seed, get_data_mini_after.py:14-29).
     """
     bh, bw = big_size(cfg)
-    C = img.shape[-1]
-    big = jax.image.resize(img, (bh, bw, C), method="bilinear")
-    crop = jax.lax.dynamic_slice(
-        big, (p.crop_h, p.crop_w, 0), (cfg.height, cfg.width, C)
-    )
+    crop = resize_crop_hwc(img, (bh, bw), p.crop_h, p.crop_w,
+                           (cfg.height, cfg.width))
     crop = jnp.where(p.flip, crop[:, ::-1, :], crop)
     # tf.image.random_contrast: per-channel mean-centered scaling.
     mean = jnp.mean(crop, axis=(0, 1), keepdims=True)
@@ -101,10 +115,8 @@ def warp_flow(flow: jax.Array, p: AugParams, cfg: StabNetConfig) -> jax.Array:
     image (reference: warp_flow, get_data_mini_after.py:31-48).
     """
     bh, bw = big_size(cfg)
-    big = jax.image.resize(flow, (bh, bw, 2), method="bilinear")
-    crop = jax.lax.dynamic_slice(
-        big, (p.crop_h, p.crop_w, 0), (cfg.height, cfg.width, 2)
-    )
+    crop = resize_crop_hwc(flow, (bh, bw), p.crop_h, p.crop_w,
+                           (cfg.height, cfg.width))
     fx = _warp_x_coord(crop[..., 0], p._replace(flip=jnp.asarray(False)), cfg)
     fy = _warp_y_coord(crop[..., 1], p, cfg)
     # Under flip, the field is mirrored and x-values mirrored (reference:
@@ -206,8 +218,16 @@ def augment_example(key: jax.Array, raw: Dict[str, jax.Array],
     k_par, k_m1, k_m2 = jax.random.split(key, 3)
     p = draw_params(k_par, cfg)
 
-    stable = warp_img(raw["stable"], p, cfg)
-    unstable = warp_img(raw["unstable"], p, cfg)
+    def to_model_scale(a):
+        # Records store frames as uint8 (4x cheaper host->device transfer);
+        # model scale is [-0.5, 0.5] (reference: get_img,
+        # get_data_mini_after.py:149-156).
+        if a.dtype == jnp.uint8:
+            return a.astype(jnp.float32) / 255.0 - 0.5
+        return a
+
+    stable = warp_img(to_model_scale(raw["stable"]), p, cfg)
+    unstable = warp_img(to_model_scale(raw["unstable"]), p, cfg)
 
     bc = cfg.before_ch
     y1 = stable[..., 0:1]

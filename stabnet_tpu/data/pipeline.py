@@ -83,7 +83,5 @@ class InputPipeline:
     def __next__(self):
         raw = next(self._raw)
         self._key, sub = jax.random.split(self._key)
-        raw = jax.tree_util.tree_map(
-            lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw
-        )
+        raw = augment.prepare_raw(raw)
         return self._aug(sub, raw)

@@ -63,18 +63,21 @@ def make_raw_example(cfg: StabNetConfig, seed: int = 0) -> Dict[str, np.ndarray]
     def g(clip, t):
         return to_gray_train(clip[t])
 
+    def to_u8(f):
+        return np.clip(np.round((f + 0.5) * 255.0), 0, 255).astype(np.uint8)
+
     stable_ch = []
     for base in (pos - 1, pos):
         for i in cfg.indices:
             if i >= 0:
-                stable_ch.append(g(stable_clip, base - i))
+                stable_ch.append(to_u8(g(stable_clip, base - i)))
     stable = np.stack(stable_ch, axis=-1)
 
     unstable_ch = []
     for base in (pos - 1, pos):
         for i in cfg.indices:
             if i <= 0:
-                unstable_ch.append(g(unstable_clip, base - i))
+                unstable_ch.append(to_u8(g(unstable_clip, base - i)))
     unstable = np.stack(unstable_ch, axis=-1)
 
     # Smooth random NDC correspondence map standing in for TVL1 flow.

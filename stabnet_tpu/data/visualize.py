@@ -21,7 +21,11 @@ logger = get_logger()
 
 
 def _u8(img: np.ndarray) -> np.ndarray:
-    g = np.clip((np.asarray(img).squeeze() + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    img = np.asarray(img).squeeze()
+    if img.dtype == np.uint8:
+        g = img
+    else:
+        g = np.clip((img + 0.5) * 255.0, 0, 255).astype(np.uint8)
     return np.repeat(g[..., None], 3, axis=-1)
 
 

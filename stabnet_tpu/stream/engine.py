@@ -38,6 +38,7 @@ from stabnet_tpu.models import stabnet
 from stabnet_tpu.ops import bilinear_sample, transformer
 from stabnet_tpu.ops.crop import max_clear_rect
 from stabnet_tpu.ops.mesh import theta_to_mesh
+from stabnet_tpu.ops.resize import resize_bilinear_bhw as resize_bilinear
 from stabnet_tpu.utils.profiling import StageTimer
 
 
@@ -136,36 +137,6 @@ def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig,
     output = _sample(cur, x_map, y_map, use_pallas=True)
     return WarpResult(output=output, black_pix=black, x_map=x_map,
                       y_map=y_map, Hs=Hs)
-
-
-@functools.lru_cache(maxsize=None)
-def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
-    """(n_out, n_in) bilinear half-pixel-center resize weights."""
-    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
-    src = np.clip(src, 0.0, n_in - 1)
-    lo = np.floor(src).astype(np.int64)
-    hi = np.minimum(lo + 1, n_in - 1)
-    f = (src - lo).astype(np.float32)
-    M = np.zeros((n_out, n_in), np.float32)
-    M[np.arange(n_out), lo] += 1.0 - f
-    M[np.arange(n_out), hi] += f
-    return M
-
-
-def resize_bilinear(m: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Separable bilinear resize of (S, H, W) maps as two static matmuls.
-
-    jax.image.resize lowers to gather on TPU for these shapes; two einsums
-    with precomputed weight matrices keep it on the MXU.
-    """
-    S, H, W = m.shape
-    Ho, Wo = out_hw
-    if (H, W) == (Ho, Wo):
-        return m
-    Rr = jnp.asarray(_resize_matrix(H, Ho))
-    Rc = jnp.asarray(_resize_matrix(W, Wo))
-    m = jnp.einsum("oh,shw->sow", Rr, m, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("pw,sow->sop", Rc, m, precision=jax.lax.Precision.HIGHEST)
 
 
 def smooth_maps(x_map: jax.Array, y_map: jax.Array,

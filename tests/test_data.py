@@ -20,6 +20,7 @@ CFG = get_config("tiny")
 def test_raw_example_shapes():
     ex = make_raw_example(CFG, seed=0)
     bc = CFG.before_ch
+    assert ex["stable"].dtype == np.uint8
     assert ex["stable"].shape == (CFG.height, CFG.width, 2 * (bc + 1))
     assert ex["unstable"].shape == (CFG.height, CFG.width, 2)
     assert ex["flow"].shape == (CFG.height, CFG.width, 2)
@@ -28,9 +29,8 @@ def test_raw_example_shapes():
 
 
 def test_augment_example_shapes_and_range():
-    ex = make_raw_example(CFG, seed=1)
-    ex = {k: jnp.asarray(v.astype(np.float32) if v.dtype != np.bool_ else v)
-          for k, v in ex.items()}
+    ex = augment.prepare_raw(make_raw_example(CFG, seed=1))
+    ex = {k: jnp.asarray(v) for k, v in ex.items()}
     out = augment.augment_example(jax.random.PRNGKey(0), ex, CFG)
     assert out["x1"].shape == (CFG.height, CFG.width, CFG.in_channels)
     assert out["y1"].shape == (CFG.height, CFG.width, 1)
@@ -99,9 +99,8 @@ def test_records_roundtrip(tmp_path):
 
 
 def test_augment_batch_batched():
-    raw = make_raw_batch(CFG, 2, seed=7)
-    raw = {k: jnp.asarray(v.astype(np.float32) if v.dtype != np.bool_ else v)
-           for k, v in raw.items()}
+    raw = augment.prepare_raw(make_raw_batch(CFG, 2, seed=7))
+    raw = {k: jnp.asarray(v) for k, v in raw.items()}
     out = augment.augment_batch(jax.random.PRNGKey(0), raw, CFG)
     assert out["x1"].shape == (2, CFG.height, CFG.width, CFG.in_channels)
     # Different examples get different augmentation draws.

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stabnet_tpu.config import get_config
-from stabnet_tpu.data import augment_batch, make_raw_batch
+from stabnet_tpu.data import augment_batch, make_raw_batch, prepare_raw
 from stabnet_tpu.models import make_model
 from stabnet_tpu.parallel import data_mesh, shard_batch
 from stabnet_tpu.train.state import create_train_state, lr_schedule
@@ -19,10 +19,7 @@ CFG = get_config("tiny").replace(batch_size=2)
 
 
 def make_batch(seed=0):
-    raw = make_raw_batch(CFG, CFG.batch_size, seed=seed)
-    raw = jax.tree_util.tree_map(
-        lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw
-    )
+    raw = prepare_raw(make_raw_batch(CFG, CFG.batch_size, seed=seed))
     return augment_batch(jax.random.PRNGKey(seed), raw, CFG)
 
 
@@ -80,10 +77,7 @@ def test_data_parallel_train_step():
     model = make_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0))
     step = make_train_step(model, cfg, mesh=mesh)
-    raw = make_raw_batch(cfg, 8, seed=3)
-    raw = jax.tree_util.tree_map(
-        lambda a: a.astype(np.float32) if a.dtype != np.bool_ else a, raw
-    )
+    raw = prepare_raw(make_raw_batch(cfg, 8, seed=3))
     batch = augment_batch(jax.random.PRNGKey(3), raw, cfg)
     batch = shard_batch(jax.tree_util.tree_map(np.asarray, batch), mesh)
     new_state, aux = step(state, batch)
