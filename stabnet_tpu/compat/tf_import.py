@@ -25,7 +25,6 @@ moving stats map to flax `batch_stats`.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Tuple
 
 import numpy as np

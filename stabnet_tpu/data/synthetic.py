@@ -8,7 +8,7 @@ variant adds jitter, so the stabilization problem is real but tiny.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -16,7 +16,6 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from stabnet_tpu.config import StabNetConfig
 from stabnet_tpu.ops.crop import max_clear_rect
 from stabnet_tpu.stream import video_io
 from stabnet_tpu.stream.engine import StreamEngine

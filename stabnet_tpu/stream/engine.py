@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from stabnet_tpu.config import StabNetConfig
-from stabnet_tpu.models import stabnet
 from stabnet_tpu.ops import bilinear_sample, transformer
 from stabnet_tpu.ops.crop import max_clear_rect
 from stabnet_tpu.ops.mesh import theta_to_mesh
