@@ -39,7 +39,8 @@ def current_frame(x: jax.Array, cfg: StabNetConfig) -> jax.Array:
 
 
 def forward(model: StabNetRegressor, variables, x: jax.Array, cfg: StabNetConfig,
-            train: bool = False, mutable: bool = False):
+            train: bool = False, mutable: bool = False,
+            pallas_warp: bool = False):
     """Run the regressor and warp the current frame.
 
     Args:
@@ -63,10 +64,23 @@ def forward(model: StabNetRegressor, variables, x: jax.Array, cfg: StabNetConfig
 
     mesh = theta_to_mesh(theta, cfg.grid_h, cfg.grid_w, cfg.do_crop_rate)
     pts1 = cell_pts(mesh)
-    warp = transformer(
-        current_frame(x, cfg).astype(jnp.dtype(cfg.warp_dtype)),
-        mesh, cfg.grid_h, cfg.grid_w,
-    )
+    cur = current_frame(x, cfg).astype(jnp.dtype(cfg.warp_dtype))
+    if pallas_warp:
+        # MXU sampling with exact map gradients; the sampled image is the
+        # input frame (no gradient path), so the const-image VJP applies.
+        from stabnet_tpu.ops import black_mask, dense_maps, mesh_to_homographies
+        from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas_const_image
+        from stabnet_tpu.ops.warp import WarpResult
+
+        Hs = mesh_to_homographies(mesh, cfg.grid_h, cfg.grid_w)
+        x_map, y_map = dense_maps(Hs, cfg.height, cfg.width)
+        warp = WarpResult(
+            output=bilinear_sample_pallas_const_image(cur, x_map, y_map),
+            black_pix=black_mask(x_map, y_map),
+            x_map=x_map, y_map=y_map, Hs=Hs,
+        )
+    else:
+        warp = transformer(cur, mesh, cfg.grid_h, cfg.grid_w)
     out = StabNetOutput(theta=theta, mesh=mesh, pts1=pts1, warp=warp)
     if mutable:
         return out, new_state

@@ -257,3 +257,76 @@ def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     assert imc.dtype == jnp.uint8
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
                         tile_h, exact, out_uint8=True, tile_w=tile_w)
+
+
+# --- differentiable wrapper for the TRAINING warp -----------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def bilinear_sample_pallas_const_image(im: jax.Array, x_ndc: jax.Array,
+                                       y_ndc: jax.Array) -> jax.Array:
+    """Pallas sampler with exact map gradients; the IMAGE is a constant.
+
+    Training's hot warp samples the CURRENT INPUT FRAME (a data leaf with no
+    gradient path — s_net_bundle_nobm.py:280-283,332), so only d/d(x_map),
+    d/d(y_map) are needed.  The XLA gather path's autodiff works but both the
+    gather forward and its gradient are serial-loop lowered on TPU; this
+    custom VJP keeps everything on the MXU:
+
+      forward:   the exact Pallas kernel;
+      backward:  d out/d x = (y1-y)(Ic - Ia) + (y - y0)(Id - Ib)  (the exact
+                 derivative of the clamped-corner bilinear formula — weights
+                 are linear in x, corner indices are piecewise constant),
+                 with the four corner taps Ia..Id fetched by FOUR more Pallas
+                 calls at integer-snapped coordinates.
+
+    The returned image cotangent is ZERO: do not use this where gradients
+    must flow into the sampled image (e.g. the temporal-loss warp of the
+    sibling branch's OUTPUT) — use `ops.warp.bilinear_sample` there.
+    """
+    return bilinear_sample_pallas(im, x_ndc, y_ndc, exact=True)
+
+
+def _const_image_fwd(im, x_ndc, y_ndc):
+    out = bilinear_sample_pallas(im, x_ndc, y_ndc, exact=True)
+    return out, (im, x_ndc, y_ndc)
+
+
+def _const_image_bwd(res, g):
+    im, x_ndc, y_ndc = res
+    B, H, W, C = im.shape
+
+    x = (x_ndc.astype(jnp.float32) + 1.0) * (W / 2.0)
+    y = (y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+
+    def snap(px, n):
+        return px * (2.0 / n) - 1.0
+
+    def tap(xc, yc):
+        return bilinear_sample_pallas(im, snap(xc, W), snap(yc, H), exact=True)
+
+    Ia = tap(x0c, y0c)   # (B, Ho, Wo, C)
+    Ib = tap(x0c, y1c)
+    Ic = tap(x1c, y0c)
+    Id = tap(x1c, y1c)
+
+    # d out / d x_pix and d y_pix (exact autodiff of the clamped-corner
+    # weights, which are linear in the continuous coordinate).
+    wy0 = (y1c - y)[..., None]
+    wy1 = (y - y0c)[..., None]
+    wx0 = (x1c - x)[..., None]
+    wx1 = (x - x0c)[..., None]
+    dodx = wy0 * (Ic - Ia) + wy1 * (Id - Ib)
+    dody = wx0 * (Ib - Ia) + wx1 * (Id - Ic)
+
+    gx = jnp.sum(g * dodx, axis=-1) * (W / 2.0)
+    gy = jnp.sum(g * dody, axis=-1) * (H / 2.0)
+    return jnp.zeros_like(im), gx.astype(x_ndc.dtype), gy.astype(y_ndc.dtype)
+
+
+bilinear_sample_pallas_const_image.defvjp(_const_image_fwd, _const_image_bwd)

@@ -74,17 +74,21 @@ def _branch_losses(out: stabnet.StabNetOutput, y: jax.Array, matches: jax.Array,
 
 
 def compute_losses(model, params, batch_stats, batch: Batch, cfg: StabNetConfig,
-                   gates: Dict[str, jax.Array], train: bool = True):
+                   gates: Dict[str, jax.Array], train: bool = True,
+                   pallas_warp: Optional[bool] = None):
     """Full Siamese loss. Returns (total, (aux_terms, new_batch_stats))."""
+    if pallas_warp is None:
+        pallas_warp = jax.default_backend() in ("tpu", "axon")
     B = batch["x1"].shape[0]
     xs = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, new_state = stabnet.forward(model, variables, xs, cfg, train=True,
-                                         mutable=True)
+                                         mutable=True, pallas_warp=pallas_warp)
         new_batch_stats = new_state["batch_stats"]
     else:
-        out = stabnet.forward(model, variables, xs, cfg, train=False)
+        out = stabnet.forward(model, variables, xs, cfg, train=False,
+                              pallas_warp=pallas_warp)
         new_batch_stats = batch_stats
 
     def split(tree):

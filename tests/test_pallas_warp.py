@@ -32,3 +32,33 @@ def test_matches_xla_single_tile(shift):
         )
     )
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_const_image_vjp_matches_xla_grads():
+    """Map gradients of the custom-VJP sampler == XLA autodiff gradients."""
+    import jax
+
+    from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas_const_image
+
+    rng = np.random.RandomState(3)
+    B, H, W, C = 1, 8, 128, 1
+    im = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    gx = np.linspace(-1, 1, W, dtype=np.float32)
+    gy = np.linspace(-1, 1, H, dtype=np.float32)
+    xg, yg = np.meshgrid(gx, gy)
+    xm = jnp.asarray((xg * 0.9 + 0.03)[None].astype(np.float32))
+    ym = jnp.asarray((yg * 0.9 - 0.02)[None].astype(np.float32))
+    g = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+
+    def loss_ref(x, y):
+        return jnp.sum(bilinear_sample(im, x, y) * g)
+
+    def loss_pallas(x, y):
+        return jnp.sum(bilinear_sample_pallas_const_image(im, x, y) * g)
+
+    gx_ref, gy_ref = jax.grad(loss_ref, argnums=(0, 1))(xm, ym)
+    gx_p, gy_p = jax.grad(loss_pallas, argnums=(0, 1))(xm, ym)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_ref),
+                               rtol=1e-4, atol=1e-4)
