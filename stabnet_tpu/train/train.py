@@ -124,12 +124,14 @@ def compute_losses(model, params, batch_stats, batch: Batch, cfg: StabNetConfig,
     return total, (aux, new_batch_stats)
 
 
-def train_step(model, state: TrainState, batch: Batch, cfg: StabNetConfig):
+def train_step(model, state: TrainState, batch: Batch, cfg: StabNetConfig,
+               pallas_warp: Optional[bool] = None):
     """One optimizer step. Pure function of (state, batch)."""
     gates = loss_gates(state.step, cfg)
 
     def loss_fn(params):
-        return compute_losses(model, params, state.batch_stats, batch, cfg, gates)
+        return compute_losses(model, params, state.batch_stats, batch, cfg,
+                              gates, pallas_warp=pallas_warp)
 
     grads, (aux, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
     tx = make_optimizer(cfg)
@@ -144,19 +146,30 @@ def train_step(model, state: TrainState, batch: Batch, cfg: StabNetConfig):
     return new_state, aux
 
 
-def eval_step(model, state: TrainState, batch: Batch, cfg: StabNetConfig):
+def eval_step(model, state: TrainState, batch: Batch, cfg: StabNetConfig,
+              pallas_warp: Optional[bool] = None):
     """Held-out loss with frozen statistics (reference: train loop test phase,
     train_bundle_nobm.py:273-315 — the reference evaluates with the training
     graph; we evaluate with inference-mode BN, the deployed branch)."""
     gates = loss_gates(state.step, cfg)
     _, (aux, _) = compute_losses(model, state.params, state.batch_stats, batch,
-                                 cfg, gates, train=False)
+                                 cfg, gates, train=False,
+                                 pallas_warp=pallas_warp)
     return aux
+
+
+def _mesh_pallas_default(mesh: Optional[Mesh]) -> bool:
+    """Pallas kernels only when the EXECUTING devices are TPU (the default
+    backend can be a TPU plugin while a test mesh targets virtual CPUs)."""
+    if mesh is not None:
+        return mesh.devices.flat[0].platform in ("tpu", "axon")
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def make_train_step(model, cfg: StabNetConfig, mesh: Optional[Mesh] = None):
     """Jit the train step; with a mesh, shard the batch and replicate state."""
-    step_fn = functools.partial(train_step, model, cfg=cfg)
+    step_fn = functools.partial(train_step, model, cfg=cfg,
+                                pallas_warp=_mesh_pallas_default(mesh))
     if mesh is None:
         return jax.jit(step_fn)
     repl = NamedSharding(mesh, P())
@@ -169,7 +182,8 @@ def make_train_step(model, cfg: StabNetConfig, mesh: Optional[Mesh] = None):
 
 
 def make_eval_step(model, cfg: StabNetConfig, mesh: Optional[Mesh] = None):
-    step_fn = functools.partial(eval_step, model, cfg=cfg)
+    step_fn = functools.partial(eval_step, model, cfg=cfg,
+                                pallas_warp=_mesh_pallas_default(mesh))
     if mesh is None:
         return jax.jit(step_fn)
     repl = NamedSharding(mesh, P())

@@ -1,0 +1,50 @@
+"""Whole-clip scan path vs frame-at-a-time step path: identical results.
+
+The throughput mode (stabilize_clip_device, one lax.scan XLA program) must
+produce exactly the frames the online per-frame path produces — the scan is a
+pure restructuring of the same recurrence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabnet_tpu.config import get_config
+from stabnet_tpu.data.synthetic import make_video
+from stabnet_tpu.models import init_variables, make_model
+from stabnet_tpu.stream import StreamEngine
+from stabnet_tpu.stream.video_io import to_gray_train
+
+CFG = get_config("tiny")
+
+
+def test_scan_equals_stepwise():
+    T = 6
+    clip = make_video(T, CFG.height, CFG.width, seed=9, jitter=3.0)
+    grays = np.stack(
+        [to_gray_train(f, CFG.height, CFG.width) for f in clip]
+    )[None]                                          # (1, T, H, W)
+    colors = clip[None]                              # (1, T, H, W, 3)
+
+    model = make_model(CFG)
+    variables = init_variables(model, CFG, jax.random.PRNGKey(0))
+    engine = StreamEngine(model, variables, CFG)
+
+    # Scan path.
+    warped_scan, state_scan = engine.stabilize_clip(
+        jnp.asarray(grays), jnp.asarray(colors)
+    )
+
+    # Step path.
+    state = engine.init(grays[:, 0])
+    frames = []
+    for t in range(1, T):
+        state, out = engine.step(state, grays[:, t], colors[:, t])
+        frames.append(np.asarray(out.warped_color))
+    warped_step = np.stack(frames, axis=1)           # (1, T-1, H, W, 3)
+
+    np.testing.assert_array_equal(np.asarray(warped_scan), warped_step)
+    np.testing.assert_array_equal(
+        np.asarray(state_scan.all_black), np.asarray(state.all_black)
+    )
+    assert int(state_scan.ptr) == int(state.ptr)
