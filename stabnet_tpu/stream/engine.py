@@ -361,6 +361,38 @@ class StreamEngine:
         return self._clip(self.variables, jnp.asarray(clip_gray),
                           jnp.asarray(clip_color))
 
+    def stabilize_clips_sharded(self, clip_gray: np.ndarray,
+                                clip_color: np.ndarray, mesh=None
+                                ) -> Tuple[jax.Array, StreamState]:
+        """Multi-chip batch stabilization: shard S clips over the data mesh.
+
+        Each clip's recurrence is independent, so the stream axis shards
+        perfectly: parameters replicated, clips split across chips, zero
+        collectives in steady state (the reference has no multi-device
+        capability at all; SURVEY.md section 2).
+
+        S must be divisible by the mesh size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from stabnet_tpu.parallel import data_mesh
+
+        mesh = mesh or data_mesh()
+        use_pallas = mesh.devices.flat[0].platform in ("tpu", "axon")
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(self.cfg.mesh_data_axis))
+        fn = jax.jit(
+            functools.partial(
+                stabilize_clip_device, self.model, cfg=self.cfg,
+                refine=self.refine, out_hw=self.out_hw,
+                use_pallas=use_pallas,
+            ),
+            in_shardings=(repl, shard, shard),
+            out_shardings=(shard, StreamState(shard, shard, repl, shard)),
+        )
+        return fn(self.variables, jnp.asarray(clip_gray),
+                  jnp.asarray(clip_color))
+
 
 def crop_rectangle(all_black: np.ndarray) -> Tuple[int, int, int, int]:
     """Final maximal black-free crop over the whole clip.
