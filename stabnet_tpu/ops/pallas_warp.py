@@ -20,11 +20,15 @@ we like).  Per tile and channel the kernel then:
 
 One MXU contraction per (tile, channel); channels share the weight matrices.
 
-Window bounds: samples farther than the (YB, XB) window from the tile's
-minimum sample contribute 0.  For stabilization meshes (vertex offsets clamped
-to +/-1/do_crop_rate, rigidity losses) the per-tile spread is far below the
-defaults.  The pure-XLA `ops.warp.bilinear_sample` remains the reference path
-and is used in training (where gradients are needed).
+Window bounds: each tile DMAs a (YB, XB) input window based at the tile's
+minimum sample.  For stabilization meshes (vertex offsets clamped to
++/-1/do_crop_rate, rigidity losses) the per-tile spread is far below the
+defaults, but nothing is allowed to fail silently: a per-tile spread check
+(`_windows_ok`, computed on the exact tiled coordinates the kernel sees)
+gates the Pallas path, and any tile whose samples would leave its window
+falls the whole call back to the pure-XLA `ops.warp.bilinear_sample`
+(slow but window-free).  The XLA path also remains the training sampler
+(where image gradients are needed).
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ def _ceil_mult(x: int, m: int) -> int:
 
 def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
                  H: int, W: int, YB: int, XB: int, C: int, exact: bool,
-                 out_uint8: bool):
+                 out_uint8: bool, strict_edge: bool):
     """One (8, 128) output tile, all channels.  Maps arrive as (1, 1024)."""
     x = x_ref[0, 0, 0]                            # (1, N) pixel-space x
     y = y_ref[0, 0, 0]
@@ -73,9 +77,17 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
     )
     copy.start()
 
-    # Validity: outside [0, size-1] the reference's clamped taps cancel.
-    vx = ((x >= 0.0) & (x <= W - 1)).astype(jnp.float32)
-    vy = ((y >= 0.0) & (y <= H - 1)).astype(jnp.float32)
+    # Validity: for coords >= size-1 or < 0 the reference's clamped-corner
+    # taps cancel to exactly zero (x0c == x1c makes both weights vanish at
+    # x == W-1 too — hence the STRICT upper bound; see test_pallas_warp).
+    # strict_edge=False keeps the edge pixel at exactly-integer edge coords;
+    # the custom-VJP backward uses it to fetch corner taps.
+    if strict_edge:
+        vx = ((x >= 0.0) & (x < W - 1)).astype(jnp.float32)
+        vy = ((y >= 0.0) & (y < H - 1)).astype(jnp.float32)
+    else:
+        vx = ((x >= 0.0) & (x <= W - 1)).astype(jnp.float32)
+        vy = ((y >= 0.0) & (y <= H - 1)).astype(jnp.float32)
 
     xrel = x - xbase.astype(jnp.float32)          # (1, TILE_N)
     yrel = y - ybase.astype(jnp.float32)
@@ -120,10 +132,34 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
     out_ref[:] = vals.reshape(1, 1, 1, C, -1)
 
 
+def _windows_ok(x_pix: jax.Array, y_pix: jax.Array, H: int, W: int,
+                YB: int, XB: int, Hp_im: int, Wp_im: int) -> jax.Array:
+    """True iff every tile's bilinear taps fit its DMA window.
+
+    Mirrors `_warp_kernel`'s window-base computation exactly (per-tile min of
+    the clamped floor coordinate, snapped down to the DMA alignment, clipped
+    to the padded image): a tile is in-window iff its maximal tap index lies
+    within [base, base + band).  Inputs are the exact tiled (B, nth, ntw, 1,
+    N) pixel-coordinate arrays handed to the kernel.
+    """
+    x0 = jnp.floor(x_pix).astype(jnp.int32)
+    y0 = jnp.floor(y_pix).astype(jnp.int32)
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+    xbase = jnp.clip(jnp.min(x0c, axis=-1) & ~127, 0, Wp_im - XB)
+    ybase = jnp.clip(jnp.min(y0c, axis=-1) & ~7, 0, Hp_im - YB)
+    ok_x = jnp.max(x1c, axis=-1) - xbase <= XB - 1
+    ok_y = jnp.max(y1c, axis=-1) - ybase <= YB - 1
+    return jnp.all(ok_x & ok_y)
+
+
 def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                  y_band: int, x_band: int, interpret: Optional[bool],
                  tile_h: int, exact: bool, out_uint8: bool,
-                 tile_w: int = TILE_W) -> jax.Array:
+                 tile_w: int = TILE_W, guard: bool = True,
+                 strict_edge: bool = True) -> jax.Array:
     """Shared core: channels-first image (B, C, H, W), any sample dtype.
 
     tile_w trades MXU/VPU work against window width: a narrower tile needs a
@@ -136,6 +172,7 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     TILE_N = TILE_H * TILE_Wl
     assert TILE_N % 128 == 0, (tile_h, tile_w)
     Ho, Wo = x_ndc.shape[1], x_ndc.shape[2]
+    x_ndc0, y_ndc0 = x_ndc, y_ndc          # unpadded, for the guard fallback
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
@@ -150,11 +187,15 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     XB = min(_ceil_mult(x_band, 128), Wp_im)
 
     # Pad output to tile multiples and flatten each tile to a lane vector.
+    # Padding must REPLICATE the border coordinates (mode="edge"): zero-padded
+    # NDC samples would sit at the image center and, in edge tiles mixing real
+    # and padded pixels, pull the per-tile min (the DMA window base) away from
+    # the real samples — silently zeroing real output rows/columns.
     pho = (-Ho) % TILE_H
     pwo = (-Wo) % TILE_Wl
     if pho or pwo:
-        x_ndc = jnp.pad(x_ndc, ((0, 0), (0, pho), (0, pwo)))
-        y_ndc = jnp.pad(y_ndc, ((0, 0), (0, pho), (0, pwo)))
+        x_ndc = jnp.pad(x_ndc, ((0, 0), (0, pho), (0, pwo)), mode="edge")
+        y_ndc = jnp.pad(y_ndc, ((0, 0), (0, pho), (0, pwo)), mode="edge")
     Hp, Wp = Ho + pho, Wo + pwo
     nth, ntw = Hp // TILE_H, Wp // TILE_Wl
 
@@ -166,85 +207,109 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     y_pix = tile_flatten((y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0))
 
     kernel = functools.partial(_warp_kernel, H=H, W=W, YB=YB, XB=XB, C=C,
-                               exact=exact, out_uint8=out_uint8)
+                               exact=exact, out_uint8=out_uint8,
+                               strict_edge=strict_edge)
     grid = (B, nth, ntw)
     out_dtype = jnp.uint8 if out_uint8 else jnp.float32
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, TILE_N), lambda b, i, j: (b, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # full (B, C, H, W)
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, C, TILE_N),
-                               lambda b, i, j: (b, i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nth, ntw, C, TILE_N), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((C, YB, XB), imc.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        # Raising the scoped-vmem limit measurably hurts Mosaic's pipelining;
-        # only do it when the weight matrices are genuinely large.
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
-            if TILE_N * XB * 4 > 2 * 1024 * 1024 else pltpu.CompilerParams()
-        ),
-        interpret=interpret,
-    )(x_pix, y_pix, imc)
+    def run_pallas():
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, TILE_N),
+                             lambda b, i, j: (b, i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, 1, TILE_N),
+                             lambda b, i, j: (b, i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),         # full (B, C, H, W)
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, C, TILE_N),
+                                   lambda b, i, j: (b, i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, nth, ntw, C, TILE_N), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((C, YB, XB), imc.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            # Raising the scoped-vmem limit measurably hurts Mosaic's
+            # pipelining; only do it when the weights are genuinely large.
+            compiler_params=(
+                pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+                if TILE_N * XB * 4 > 2 * 1024 * 1024 else pltpu.CompilerParams()
+            ),
+            interpret=interpret,
+        )(x_pix, y_pix, imc)
 
-    # (B, nth, ntw, C, 1024) -> (B, Ho, Wo, C)
-    out = out.reshape(B, nth, ntw, C, TILE_H, TILE_Wl)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, Wp, C)
-    return out[:, :Ho, :Wo, :]
+        # (B, nth, ntw, C, 1024) -> (B, Ho, Wo, C)
+        out = out.reshape(B, nth, ntw, C, TILE_H, TILE_Wl)
+        out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, Wp, C)
+        return out[:, :Ho, :Wo, :]
+
+    if not guard:
+        return run_pallas()
+
+    def run_fallback():
+        # Window-free (and slow) pure-XLA sampler; only taken when some
+        # tile's sample spread exceeds the DMA window.
+        from stabnet_tpu.ops import warp as xla_warp
+
+        im_cl = jnp.moveaxis(imc[:, :, :H, :W], 1, -1).astype(jnp.float32)
+        out = xla_warp.bilinear_sample(im_cl, x_ndc0, y_ndc0)
+        if out_uint8:
+            return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+        return out.astype(jnp.float32)
+
+    ok = _windows_ok(x_pix, y_pix, H, W, YB, XB, Hp_im, Wp_im)
+    return jax.lax.cond(ok, run_pallas, run_fallback)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
-                     "exact"),
+                     "exact", "guard", "strict_edge"),
 )
 def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                            y_band: int = 32, x_band: int = 256,
                            interpret: Optional[bool] = None,
                            tile_h: int = 16, tile_w: int = 64,
-                           exact: bool = True) -> jax.Array:
+                           exact: bool = True, guard: bool = True,
+                           strict_edge: bool = True) -> jax.Array:
     """Drop-in fast path for `ops.warp.bilinear_sample` (inference only).
 
     Args:
       im: (B, H, W, C) float32 input images.
       x_ndc, y_ndc: (B, Ho, Wo) NDC sample maps ((x+1)*W/2 pixel convention).
-      y_band, x_band: input-window extents per output tile; samples whose
-        coordinates spread beyond the window within one (tile_h, 128) tile
-        contribute zero (see module docstring).
+      y_band, x_band: input-window extents per output tile.
       tile_h: output rows per kernel program (8 or 16).
       exact: HIGHEST-precision matmuls (f32-faithful, ~1e-6 vs the XLA path).
         With False the MXU runs bf16 passes (~1e-3 relative) — fine when the
         result is rounded to uint8 (the production color warp), 2x faster.
+      guard: check every tile's sample spread against the DMA window and fall
+        back to the window-free XLA sampler when exceeded (no silent zeros).
+        Only disable when the caller guarantees in-window maps.
 
     Returns:
-      (B, Ho, Wo, C) sampled images, numerically equal to the XLA path for
-      in-window maps (matmul rounding ~1e-6).
+      (B, Ho, Wo, C) sampled images, numerically equal to the XLA path
+      (matmul rounding ~1e-6, boundary semantics included).
     """
     imc = jnp.moveaxis(im.astype(jnp.float32), -1, 1)      # (B, C, H, W)
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
-                        tile_h, exact, out_uint8=False, tile_w=tile_w)
+                        tile_h, exact, out_uint8=False, tile_w=tile_w,
+                        guard=guard, strict_edge=strict_edge)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
-                     "exact"),
+                     "exact", "guard"),
 )
 def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                   y_band: int = 32, x_band: int = 256,
                   interpret: Optional[bool] = None,
                   tile_h: int = 16, tile_w: int = 64,
-                  exact: bool = False) -> jax.Array:
+                  exact: bool = False, guard: bool = True) -> jax.Array:
     """Production color path: channels-FIRST uint8 in, uint8 out.
 
     Avoids the 11 MB/frame f32 cast + layout transpose inside the streaming
@@ -256,7 +321,8 @@ def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     """
     assert imc.dtype == jnp.uint8
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
-                        tile_h, exact, out_uint8=True, tile_w=tile_w)
+                        tile_h, exact, out_uint8=True, tile_w=tile_w,
+                        guard=guard)
 
 
 # --- differentiable wrapper for the TRAINING warp -----------------------------
@@ -308,7 +374,11 @@ def _const_image_bwd(res, g):
         return px * (2.0 / n) - 1.0
 
     def tap(xc, yc):
-        return bilinear_sample_pallas(im, snap(xc, W), snap(yc, H), exact=True)
+        # Taps land on EXACT integer coords in [0, size-1]; edge-inclusive
+        # semantics (strict_edge=False) return the edge pixel there, matching
+        # the gathered corner values in the XLA autodiff.
+        return bilinear_sample_pallas(im, snap(xc, W), snap(yc, H), exact=True,
+                                      strict_edge=False)
 
     Ia = tap(x0c, y0c)   # (B, Ho, Wo, C)
     Ib = tap(x0c, y1c)

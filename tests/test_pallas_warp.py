@@ -34,6 +34,106 @@ def test_matches_xla_single_tile(shift):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_non_tile_aligned_height_matches_xla():
+    """Output heights that are NOT tile multiples must not zero real rows.
+
+    Regression: zero-padding the NDC maps to tile multiples put padded
+    samples at the image center, corrupting edge tiles' DMA window base
+    (~0.98 error in the bottom real rows at Ho=120, tile_h=16).  Padding now
+    replicates border coordinates instead.
+    """
+    rng = np.random.RandomState(1)
+    B, H, W, C = 1, 120, 192, 2          # 120 % 16 == 8, 192 % 64 == 0
+    im = rng.rand(B, H, W, C).astype(np.float32)
+    gx = np.linspace(-1, 1, W, dtype=np.float32)
+    gy = np.linspace(-1, 1, H, dtype=np.float32)
+    xg, yg = np.meshgrid(gx, gy)
+    xm = (xg * 0.95 + 0.01)[None].astype(np.float32)
+    ym = (yg * 0.95 - 0.02)[None].astype(np.float32)
+
+    ref = np.asarray(bilinear_sample(jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym)))
+    got = np.asarray(
+        bilinear_sample_pallas(
+            jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym),
+            y_band=32, x_band=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_boundary_sample_exactly_at_edge_is_zero():
+    """At x == W-1 exactly the reference clamped-corner weights cancel to 0;
+    the kernel's strict validity bound must reproduce that, not return the
+    edge pixel."""
+    B, H, W, C = 1, 8, 128, 1
+    im = np.ones((B, H, W, C), np.float32)
+    # x_pix == W-1 everywhere: x_ndc = 2*(W-1)/W - 1; y_pix mid-frame.
+    xm = np.full((B, H, W), 2.0 * (W - 1) / W - 1.0, np.float32)
+    ym = np.zeros((B, H, W), np.float32)
+
+    ref = np.asarray(bilinear_sample(jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym)))
+    got = np.asarray(
+        bilinear_sample_pallas(jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym),
+                               y_band=8, x_band=128, interpret=True)
+    )
+    assert np.all(ref == 0.0)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_window_guard_falls_back_on_pathological_map():
+    """A map whose per-tile spread exceeds the DMA window must produce the
+    XLA result (via the guarded fallback), never silent zeros."""
+    rng = np.random.RandomState(2)
+    B, H, W, C = 1, 16, 256, 1
+    im = rng.rand(B, H, W, C).astype(np.float32) + 0.5    # bounded away from 0
+    # Alternate samples between the far-left and far-right of the input
+    # within every tile: spread ~W >> x_band.
+    gy = np.linspace(-1, 1, H, dtype=np.float32)
+    xm = np.where(np.arange(W) % 2 == 0, -0.9, 0.9)[None, None, :]
+    xm = np.broadcast_to(xm, (B, H, W)).astype(np.float32)
+    ym = np.broadcast_to(gy[None, :, None] * 0.9, (B, H, W)).astype(np.float32)
+
+    ref = np.asarray(bilinear_sample(jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym)))
+    got = np.asarray(
+        bilinear_sample_pallas(jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym),
+                               y_band=8, x_band=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert np.abs(ref).max() > 0.1      # the map really does hit bright pixels
+
+    # Sanity: with the guard disabled the same call WOULD lose samples
+    # (documents why the guard exists).
+    unguarded = np.asarray(
+        bilinear_sample_pallas(jnp.asarray(im), jnp.asarray(xm), jnp.asarray(ym),
+                               y_band=8, x_band=128, interpret=True, guard=False)
+    )
+    assert np.abs(unguarded - ref).max() > 0.1
+
+
+def test_uint8_path_non_aligned_and_guarded():
+    """Production uint8 channels-first path at a non-tile-aligned size."""
+    from stabnet_tpu.ops.pallas_warp import warp_uint8_cf
+
+    rng = np.random.RandomState(4)
+    B, H, W, C = 1, 120, 192, 3
+    im = rng.randint(0, 256, (B, H, W, C), dtype=np.uint8)
+    gx = np.linspace(-1, 1, W, dtype=np.float32)
+    gy = np.linspace(-1, 1, H, dtype=np.float32)
+    xg, yg = np.meshgrid(gx, gy)
+    xm = (xg * 0.93 - 0.02)[None].astype(np.float32)
+    ym = (yg * 0.93 + 0.01)[None].astype(np.float32)
+
+    ref = np.asarray(bilinear_sample(jnp.asarray(im, jnp.float32),
+                                     jnp.asarray(xm), jnp.asarray(ym)))
+    ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    imc = jnp.asarray(np.moveaxis(im, -1, 1))
+    got = np.asarray(
+        warp_uint8_cf(imc, jnp.asarray(xm), jnp.asarray(ym),
+                      y_band=32, x_band=128, interpret=True, exact=True)
+    )
+    np.testing.assert_array_equal(got, ref_u8)
+
+
 def test_const_image_vjp_matches_xla_grads():
     """Map gradients of the custom-VJP sampler == XLA autodiff gradients."""
     import jax
