@@ -60,7 +60,7 @@ def cmd_train(args):
     )
     train(cfg, iter(train_it), test_it and iter(test_it), restore=args.restore,
           num_steps=args.steps, use_mesh=args.data_parallel, seed=args.seed,
-          debug_vis=args.debug_vis)
+          debug_vis=args.debug_vis, imagenet_ckpt=args.imagenet_ckpt)
 
 
 def cmd_stabilize(args):
@@ -189,6 +189,9 @@ def main(argv=None):
     p.add_argument("--model-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--restore", action="store_true")
+    p.add_argument("--imagenet-ckpt", default=None,
+                   help="slim ImageNet resnet_v2_50.ckpt for cold-start "
+                        "transfer (train_bundle_nobm.py:184-191 equivalent)")
     p.add_argument("--debug-vis", action="store_true",
                    help="dump per-eval debug mosaics (save_warpped_features equivalent)")
     p.add_argument("--steps", type=int, default=None)

@@ -54,33 +54,50 @@ def restore(directory: str, target: TrainState) -> TrainState:
     return restored
 
 
-def transfer_from_imagenet(params: Any, pretrained_trunk: Any) -> Any:
+def transfer_from_imagenet(variables: Any, trunk_params: Any,
+                           trunk_stats: Any = None) -> Any:
     """Graft pretrained trunk weights, keeping the 13-ch stem + head random.
 
     Args:
-      params: freshly initialized StabNet params (flax dict).
-      pretrained_trunk: params for `ResNetV2` with a 3-channel stem (e.g.
+      variables: freshly initialized StabNet variables
+        ({"params": ..., "batch_stats": ...}).
+      trunk_params: params for `ResNetV2` with a 3-channel stem (e.g.
         converted from the slim ImageNet checkpoint via stabnet_tpu.compat).
+      trunk_stats: matching BN batch_stats.  The reference's
+        `get_variables_to_restore` selects MODEL variables, which include the
+        BN moving mean/variance — so the stats transfer too.
 
     Returns:
-      params with every trunk weight except `conv1` replaced.
+      variables with every trunk weight except `conv1` replaced.
 
-    Reference: train_bundle_nobm.py:184-191 (exclude conv1 + fc).
+    Raises:
+      KeyError / ValueError on unit-name or tensor-shape mismatch (a wrong
+      pretrained checkpoint must fail loudly, not train from garbage).
+
+    Reference: train_bundle_nobm.py:101-102,184-191 (exclude conv1 + fc).
     """
     import flax
 
-    params = flax.core.unfreeze(params)
-    trunk = params["resnet_v2_50"]
-    src = pretrained_trunk
-    for key, value in src.items():
-        if key == "conv1":
-            continue  # 13-channel stem stays randomly initialized
-        if key in trunk:
+    variables = flax.core.unfreeze(variables)
+    for collection, src in (("params", trunk_params),
+                            ("batch_stats", trunk_stats)):
+        if src is None:
+            continue
+        trunk = variables[collection]["resnet_v2_50"]
+        for key, value in src.items():
+            if key == "conv1":
+                continue  # 13-channel stem stays randomly initialized
+            if key not in trunk:
+                raise KeyError(
+                    f"pretrained trunk has {collection}/{key!r} but the model "
+                    f"does not; wrong checkpoint?"
+                )
+            expected = jax.tree_util.tree_map(lambda a: a.shape, trunk[key])
+            got = jax.tree_util.tree_map(lambda a: a.shape, value)
+            if expected != got:
+                raise ValueError(
+                    f"shape mismatch grafting {collection}/{key}: "
+                    f"model {expected} vs pretrained {got}"
+                )
             trunk[key] = value
-    shapes_ok = jax.tree_util.tree_all(
-        jax.tree_util.tree_map(
-            lambda a, b: a.shape == b.shape, trunk, params["resnet_v2_50"]
-        )
-    )
-    assert shapes_ok
-    return params
+    return variables

@@ -51,7 +51,8 @@ def train(cfg: StabNetConfig,
           num_steps: Optional[int] = None,
           use_mesh: bool = False,
           seed: int = 0,
-          debug_vis: bool = False):
+          debug_vis: bool = False,
+          imagenet_ckpt: Optional[str] = None):
     """Run training; returns the final TrainState.
 
     Args:
@@ -61,11 +62,26 @@ def train(cfg: StabNetConfig,
         (reference: --restore, train_bundle_nobm.py:36,204-206).
       num_steps: overrides cfg.training_iter (for smoke runs).
       use_mesh: shard the batch over all devices (data parallel).
+      imagenet_ckpt: slim ImageNet resnet_v2_50 checkpoint for the cold-start
+        transfer restore (reference: train_bundle_nobm.py:184-191,208 —
+        applied only when NOT resuming, like the reference's if/else).
     """
     model = make_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(seed))
     if restore:
         state = ckpt.restore(cfg.model_dir, state)
+    elif imagenet_ckpt:
+        from stabnet_tpu.compat import convert_imagenet_checkpoint
+
+        trunk_p, trunk_s = convert_imagenet_checkpoint(imagenet_ckpt)
+        variables = ckpt.transfer_from_imagenet(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            trunk_p, trunk_s,
+        )
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        logger.info("transferred ImageNet trunk from %s (conv1 + head kept "
+                    "random)", imagenet_ckpt)
 
     mesh = data_mesh() if use_mesh else None
     step_fn = make_train_step(model, cfg, mesh=mesh)

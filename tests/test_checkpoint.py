@@ -31,15 +31,21 @@ def test_save_restore_roundtrip(tmp_path):
 
 
 def test_transfer_from_imagenet_grafts_trunk_not_stem(tmp_path):
+    import pytest
+
     model = make_model(CFG)
     state = create_train_state(model, CFG, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     trunk = ResNetV2(dtype=jnp.float32)
     tvars = trunk.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 96, 3)),
                       train=False)
     pretrained = tvars["params"]
+    pretrained_stats = tvars["batch_stats"]
 
-    new_params = ckpt.transfer_from_imagenet(state.params, pretrained)
+    new_vars = ckpt.transfer_from_imagenet(variables, pretrained,
+                                           pretrained_stats)
+    new_params = new_vars["params"]
 
     # conv1 (13-ch stem) unchanged.
     np.testing.assert_array_equal(
@@ -51,8 +57,21 @@ def test_transfer_from_imagenet_grafts_trunk_not_stem(tmp_path):
         np.asarray(new_params["resnet_v2_50"]["block3_unit2"]["conv1"]["kernel"]),
         np.asarray(pretrained["block3_unit2"]["conv1"]["kernel"]),
     )
+    # BN moving stats grafted too (the reference restores model variables,
+    # which include moving mean/variance).
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["batch_stats"]["resnet_v2_50"]["block2_unit1"]
+                   ["bn1"]["mean"]),
+        np.asarray(pretrained_stats["block2_unit1"]["bn1"]["mean"]),
+    )
     # head untouched.
     np.testing.assert_array_equal(
         np.asarray(new_params["head"]["fc1"]["kernel"]),
         np.asarray(state.params["head"]["fc1"]["kernel"]),
     )
+
+    # A wrong-shaped pretrained tensor must fail loudly.
+    bad = jax.tree_util.tree_map(lambda a: a, pretrained)
+    bad["block1_unit1"]["conv1"]["kernel"] = jnp.zeros((1, 1, 7, 7))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        ckpt.transfer_from_imagenet(variables, bad)

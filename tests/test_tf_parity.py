@@ -1,0 +1,271 @@
+"""Checkpoint-converter + slim-numerics parity tests (require TensorFlow).
+
+The north-star parity gate is "outputs match the reference v2_93/model-80000
+checkpoint within tolerance" (reference README.md:27-29, deploy_bundle.py:45-56).
+The real trained checkpoint is not obtainable in this environment (the
+reference repo ships no weights — see BASELINE.md), so parity is decomposed
+into two machine-checkable halves:
+
+  1. converter correctness: a synthetic TF checkpoint with the exact slim
+     variable names/shapes round-trips through `compat.tf_import` onto the
+     Flax model's parameter tree (every tensor consumed, tree structure
+     identical, forward pass runs);
+  2. layout/numerics correctness: `ResNetV2` (+ head) reproduces the slim
+     graph semantics — conv2d_same fixed padding, pre-activation BN
+     (inference form), subsample shortcut, stride-on-last-unit — against an
+     independent TensorFlow composition of the same weights (tf.nn ops,
+     following the published slim resnet_v2 structure;
+     reference: s_net_bundle_nobm.py:250-259).
+
+Together these verify the whole conversion path end-to-end; only the final
+"run the real model-80000" step needs the artifact itself.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+import jax.numpy as jnp
+
+from stabnet_tpu.compat.tf_import import (
+    _STAGES,
+    convert_imagenet_checkpoint,
+    convert_stabnet_checkpoint,
+)
+from stabnet_tpu.models.resnet import ResNetV2, StabNetRegressor
+
+THETA_DIM = 50
+
+
+# --- synthetic slim checkpoint ------------------------------------------------
+
+def slim_var_shapes(in_ch, prefix="resnet_v2_50", head_prefix=None):
+    """The exact variable inventory of slim resnet_v2_50 (+ StabNet head).
+
+    Derived from the slim resnet_v2 structure the reference instantiates
+    (s_net_bundle_nobm.py:253: global_pool=False, output_stride=32) — NOT from
+    the converter, so a converter name bug shows up as a KeyError here.
+    """
+    v = {}
+
+    def bn(p, c):
+        for k in ("gamma", "beta", "moving_mean", "moving_variance"):
+            v[f"{p}/{k}"] = (c,)
+
+    v[f"{prefix}/conv1/weights"] = (7, 7, in_ch, 64)
+    v[f"{prefix}/conv1/biases"] = (64,)
+    depth_in = 64
+    for b, n in enumerate(_STAGES, 1):
+        depth, depth_bn = 256 * 2 ** (b - 1), 64 * 2 ** (b - 1)
+        for u in range(1, n + 1):
+            s = f"{prefix}/block{b}/unit_{u}/bottleneck_v2"
+            bn(f"{s}/preact", depth_in)
+            if depth_in != depth:
+                v[f"{s}/shortcut/weights"] = (1, 1, depth_in, depth)
+                v[f"{s}/shortcut/biases"] = (depth,)
+            v[f"{s}/conv1/weights"] = (1, 1, depth_in, depth_bn)
+            bn(f"{s}/conv1/BatchNorm", depth_bn)
+            v[f"{s}/conv2/weights"] = (3, 3, depth_bn, depth_bn)
+            bn(f"{s}/conv2/BatchNorm", depth_bn)
+            v[f"{s}/conv3/weights"] = (1, 1, depth_bn, depth)
+            v[f"{s}/conv3/biases"] = (depth,)
+            depth_in = depth
+    bn(f"{prefix}/postnorm", 2048)
+
+    if head_prefix is not None:
+        for i, (din, dout) in enumerate(
+            ((2048, 2048), (2048, 1024), (1024, 512)), 1
+        ):
+            v[f"{head_prefix}/fc/fc_{i}/weights"] = (din, dout)
+            v[f"{head_prefix}/fc/fc_{i}/biases"] = (dout,)
+        v[f"{head_prefix}/fc_weights"] = (512, THETA_DIM)
+        v[f"{head_prefix}/fc_bias"] = (THETA_DIM,)
+    return v
+
+
+def random_values(shapes, seed=0):
+    rng = np.random.RandomState(seed)
+    vals = {}
+    for name, shape in shapes.items():
+        if name.endswith("moving_variance"):
+            vals[name] = (0.5 + rng.rand(*shape)).astype(np.float32)
+        else:
+            vals[name] = (rng.randn(*shape) * 0.05).astype(np.float32)
+    return vals
+
+
+def write_tf_checkpoint(directory, values):
+    """Write a TF1-style named-variable checkpoint (what the reference saves)."""
+    g = tf.Graph()
+    with g.as_default():
+        tvars = {
+            name: tf.compat.v1.get_variable(
+                name, initializer=tf.constant(val)
+            )
+            for name, val in values.items()
+        }
+        saver = tf.compat.v1.train.Saver(var_list=tvars)
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            return saver.save(sess, os.path.join(directory, "model-80000"))
+
+
+# --- independent TF composition of slim semantics ------------------------------
+
+def tf_conv2d_same(x, w, stride):
+    """slim's conv2d_same: fixed (k-1)//2 / k//2 pad then VALID for stride>1."""
+    if stride == 1:
+        return tf.nn.conv2d(x, w, 1, "SAME")
+    k = int(w.shape[0])
+    pad_beg = (k - 1) // 2
+    pad_end = (k - 1) - pad_beg
+    x = tf.pad(x, [[0, 0], [pad_beg, pad_end], [pad_beg, pad_end], [0, 0]])
+    return tf.nn.conv2d(x, w, [1, stride, stride, 1], "VALID")
+
+
+def tf_trunk(x, v, prefix):
+    """resnet_v2_50 forward in raw tf.nn ops, inference BN."""
+
+    def bn(h, p):
+        return tf.nn.batch_normalization(
+            h, v[p + "/moving_mean"], v[p + "/moving_variance"],
+            v[p + "/beta"], v[p + "/gamma"], 1e-5,
+        )
+
+    x = tf_conv2d_same(x, v[f"{prefix}/conv1/weights"], 2)
+    x = x + v[f"{prefix}/conv1/biases"]
+    x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+
+    depth_in = 64
+    for b, n in enumerate(_STAGES, 1):
+        depth = 256 * 2 ** (b - 1)
+        block_stride = 2 if b < len(_STAGES) else 1
+        for u in range(1, n + 1):
+            stride = block_stride if u == n else 1   # stride on the LAST unit
+            s = f"{prefix}/block{b}/unit_{u}/bottleneck_v2"
+            preact = tf.nn.relu(bn(x, s + "/preact"))
+            if depth_in == depth and stride == 1:
+                shortcut = x
+            elif depth_in == depth:
+                shortcut = tf.nn.max_pool2d(x, 1, stride, "SAME")
+            else:
+                shortcut = tf.nn.conv2d(
+                    preact, v[s + "/shortcut/weights"],
+                    [1, stride, stride, 1], "SAME",
+                ) + v[s + "/shortcut/biases"]
+            r = tf.nn.conv2d(preact, v[s + "/conv1/weights"], 1, "SAME")
+            r = tf.nn.relu(bn(r, s + "/conv1/BatchNorm"))
+            r = tf_conv2d_same(r, v[s + "/conv2/weights"], stride)
+            r = tf.nn.relu(bn(r, s + "/conv2/BatchNorm"))
+            r = tf.nn.conv2d(r, v[s + "/conv3/weights"], 1, "SAME")
+            r = r + v[s + "/conv3/biases"]
+            x = shortcut + r
+            depth_in = depth
+    return tf.nn.relu(bn(x, f"{prefix}/postnorm"))
+
+
+def tf_head(feats, v, prefix):
+    x = tf.reduce_mean(feats, [1, 2])
+    for i in (1, 2, 3):
+        x = tf.nn.relu(
+            tf.matmul(x, v[f"{prefix}/fc/fc_{i}/weights"])
+            + v[f"{prefix}/fc/fc_{i}/biases"]
+        )
+    return tf.matmul(x, v[f"{prefix}/fc_weights"]) + v[f"{prefix}/fc_bias"]
+
+
+# --- tests ---------------------------------------------------------------------
+
+def test_stabnet_checkpoint_roundtrip_and_theta_parity(tmp_path):
+    """Synthetic model-80000 -> converter -> Flax model == TF composition."""
+    prefix = "stable_net/resnet/resnet_v2_50"
+    head_prefix = "stable_net/resnet/fc"
+    shapes = slim_var_shapes(13, prefix=prefix, head_prefix=head_prefix)
+    values = random_values(shapes, seed=1)
+    path = write_tf_checkpoint(str(tmp_path), values)
+
+    variables = convert_stabnet_checkpoint(path)
+
+    # Tree structure must EXACTLY match the model's own init (any stray or
+    # missing parameter breaks model.apply or silently keeps random weights).
+    model = StabNetRegressor(theta_dim=THETA_DIM, dtype=jnp.float32)
+    x = np.random.RandomState(2).rand(1, 64, 64, 13).astype(np.float32) - 0.5
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 13)),
+                           train=False)
+    )
+
+    def shape_dict(tree):
+        # plain nested dict of shapes: comparing them checks the tree
+        # structure and every leaf shape at once.
+        return jax.tree_util.tree_map(
+            lambda a: tuple(a.shape),
+            {k: jax.tree_util.tree_map(lambda x: x, dict(v))
+             for k, v in dict(tree).items()},
+        )
+
+    assert shape_dict(variables) == shape_dict(expected)
+
+    theta = model.apply(variables, jnp.asarray(x), train=False)
+
+    ref = tf_head(tf_trunk(tf.constant(x), values, prefix), values, head_prefix)
+    np.testing.assert_allclose(
+        np.asarray(theta), ref.numpy(), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_trunk_matches_tf_composition_stride_and_padding(tmp_path):
+    """ResNetV2 forward == TF composition on an ODD input size.
+
+    Odd sizes expose conv2d_same vs naive-SAME padding differences and the
+    stride-placement convention (a torchvision-style first-unit stride
+    produces different values with identical parameter shapes).
+    """
+    shapes = slim_var_shapes(3)
+    values = random_values(shapes, seed=3)
+    path = write_tf_checkpoint(str(tmp_path), values)
+    p, s = convert_imagenet_checkpoint(path)
+
+    x = np.random.RandomState(4).rand(2, 65, 97, 3).astype(np.float32) - 0.5
+    trunk = ResNetV2(dtype=jnp.float32)
+    got = trunk.apply({"params": p, "batch_stats": s}, jnp.asarray(x),
+                      train=False)
+    ref = tf_trunk(tf.constant(x), values, "resnet_v2_50").numpy()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-4)
+
+
+def test_imagenet_transfer_integration(tmp_path):
+    """Synthetic ImageNet ckpt -> converter -> transfer_from_imagenet."""
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.models import make_model
+    from stabnet_tpu.train import checkpoint as ckpt
+    from stabnet_tpu.train.state import create_train_state
+
+    shapes = slim_var_shapes(3)
+    values = random_values(shapes, seed=5)
+    path = write_tf_checkpoint(str(tmp_path), values)
+    trunk_p, trunk_s = convert_imagenet_checkpoint(path)
+
+    cfg = get_config("tiny")
+    state = create_train_state(make_model(cfg), cfg, jax.random.PRNGKey(0))
+    new_vars = ckpt.transfer_from_imagenet(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        trunk_p, trunk_s,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["resnet_v2_50"]["block4_unit3"]
+                   ["conv2"]["conv"]["kernel"]),
+        values["resnet_v2_50/block4/unit_3/bottleneck_v2/conv2/weights"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["batch_stats"]["resnet_v2_50"]["postnorm"]["var"]),
+        values["resnet_v2_50/postnorm/moving_variance"],
+    )
+    # multi-channel stem keeps its random init (shape differs from 3-ch).
+    assert new_vars["params"]["resnet_v2_50"]["conv1"]["conv"]["kernel"].shape \
+        == (7, 7, cfg.in_channels, 64)
