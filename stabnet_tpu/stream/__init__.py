@@ -7,7 +7,6 @@ from stabnet_tpu.stream.engine import (
     assemble_input,
     crop_rectangle,
     init_state,
-    smooth_maps,
     stream_step,
     warp_color,
 )
@@ -23,7 +22,6 @@ __all__ = [
     "assemble_input",
     "crop_rectangle",
     "init_state",
-    "smooth_maps",
     "stream_step",
     "warp_color",
 ]

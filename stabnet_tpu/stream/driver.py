@@ -94,13 +94,25 @@ class StreamDriver:
         span_age = 0
         delta, speed = 0, opt.random_black or 0
 
+        # At t=1 the "last output" is the warm-up frame replicated into the
+        # history (deploy_bundle.py:216-224).
+        prev_fed_back: np.ndarray = first_gray.copy()
         for t in range(1, T):
             frame = unstable[t]
             cur_gray = video_io.to_gray_train(frame, cfg.height, cfg.width, 1.0)
-            if opt.random_black is not None:
-                delta, speed = _bounce(delta, 50, speed)
-                cur_gray[:, delta:] = cur_gray[:, : cur_gray.shape[1] - delta]
-                cur_gray[:, :delta] = -1.0
+            # --random-black occludes the STABLE train frame that feeds the
+            # history under --infer-with-stable (deploy_bundle.py:249-256) —
+            # a robustness test of the history channels, not of the current
+            # frame.  Built here so the vis mosaic shows the occlusion too.
+            stable_gray = None
+            if stable is not None and t < len(stable):
+                stable_gray = video_io.to_gray_train(
+                    stable[t], cfg.height, cfg.width, cfg.crop_rate)
+                if opt.random_black is not None:
+                    delta, speed = _bounce(delta, 50, speed)
+                    w = stable_gray.shape[1]
+                    stable_gray[:, delta:] = stable_gray[:, : w - delta]
+                    stable_gray[:, :delta] = -1.0
 
             override = None
             if host_hist is not None:
@@ -123,16 +135,18 @@ class StreamDriver:
 
             out_frames.append(warped)
             if opt.deploy_vis:
-                vis_frames.append(self._vis_mosaic(out, cur_gray, stable, t))
+                vis_frames.append(
+                    self._vis_mosaic(out, cur_gray, stable_gray, prev_fed_back))
+            prev_fed_back = (np.asarray(out.output_gray[0])
+                             + np.asarray(out.black[0]) * (-1.0))
 
             if host_hist is not None:
                 black = np.asarray(out.black[0])
-                if opt.infer_with_stable and stable is not None:
-                    host_hist.append(video_io.to_gray_train(
-                        stable[t], cfg.height, cfg.width, cfg.crop_rate))
+                if opt.infer_with_stable and stable_gray is not None:
+                    host_hist.append(stable_gray)
                     host_masks.append(np.zeros_like(first_gray))
                 else:
-                    host_hist.append(np.asarray(out.output_gray[0]) + black * (-1.0))
+                    host_hist.append(prev_fed_back)
                     host_masks.append(black)
                 if opt.infer_with_last:
                     host_hist = [host_hist[-1]] * len(host_hist)
@@ -216,21 +230,25 @@ class StreamDriver:
         w.close()
 
     def _vis_mosaic(self, out, cur_gray: np.ndarray,
-                    stable: Optional[np.ndarray], t: int) -> np.ndarray:
+                    stable_gray: Optional[np.ndarray],
+                    prev_fed_back: np.ndarray) -> np.ndarray:
         """2x2 diagnostic mosaic (reference: draw_imgs, deploy_bundle.py:77-93):
-        [net output | output - stable ; output - input | output - last]."""
-        cfg = self.cfg
+        [net output | output - stable ; output - input | output - last].
+
+        "last" is the previous stabilized frame as fed back into the history
+        (the reference reads input channel 0, which in the mask-less layout is
+        before_frames[-1]; with input_mask=True that literal index lands on a
+        mask channel — we render the intended frame).
+        """
         net = video_io.from_gray_train(np.asarray(out.output_gray[0])).astype(np.int32)
         unstable_img = video_io.from_gray_train(cur_gray).astype(np.int32)
-        if stable is not None and t < len(stable):
-            st = video_io.from_gray_train(
-                video_io.to_gray_train(stable[t], cfg.height, cfg.width,
-                                       cfg.crop_rate)
-            ).astype(np.int32)
+        last_img = video_io.from_gray_train(prev_fed_back).astype(np.int32)
+        if stable_gray is not None:
+            st = video_io.from_gray_train(stable_gray).astype(np.int32)
         else:
             st = np.zeros_like(net)
         top = np.concatenate([net, np.abs(net - st)], axis=1)
         bottom = np.concatenate([np.abs(net - unstable_img),
-                                 np.abs(net - unstable_img)], axis=1)
+                                 np.abs(net - last_img)], axis=1)
         img = np.concatenate([top, bottom], axis=0).astype(np.uint8)
         return np.repeat(img[..., None], 3, axis=-1)

@@ -138,22 +138,6 @@ def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig,
                       y_map=y_map, Hs=Hs)
 
 
-def smooth_maps(x_map: jax.Array, y_map: jax.Array,
-                rate: int = 4) -> Tuple[jax.Array, jax.Array]:
-    """Low-pass the dense maps by 4x down/up resampling.
-
-    Reference: deploy_bundle.py:136-146 (cv2.resize down then up before
-    remap) — removes per-cell seams from the piecewise-projective map.
-    """
-    S, H, W = x_map.shape
-
-    def smooth(m):
-        small = resize_bilinear(m, (H // rate, W // rate))
-        return resize_bilinear(small, (H, W))
-
-    return smooth(x_map), smooth(y_map)
-
-
 def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
                out_hw: Tuple[int, int], smooth_rate: int = 4,
                use_pallas: bool = False,
@@ -322,13 +306,6 @@ class StreamEngine:
             ),
             donate_argnames=("state",),
         )
-        self._step_override = jax.jit(
-            functools.partial(
-                stream_step, model, cfg=cfg, refine=refine, out_hw=out_hw,
-                use_pallas=use_pallas,
-            ),
-            donate_argnames=("state",),
-        )
         self.timer = StageTimer()
         self._clip = jax.jit(
             functools.partial(
@@ -349,7 +326,8 @@ class StreamEngine:
         if history_override is None:
             return self._step(self.variables, state, jnp.asarray(cur_gray),
                               jnp.asarray(cur_color))
-        return self._step_override(
+        # Same jitted callable; the override variant is simply a second trace.
+        return self._step(
             self.variables, state, jnp.asarray(cur_gray),
             jnp.asarray(cur_color), history_override=jnp.asarray(history_override),
         )

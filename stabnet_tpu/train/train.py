@@ -41,6 +41,10 @@ Batch = Dict[str, jax.Array]
 def loss_gates(step: jax.Array, cfg: StabNetConfig) -> Dict[str, jax.Array]:
     """Phase-in gates as traced scalars (reference: train_bundle_nobm.py:219-236)."""
     f = jnp.float32
+    # use_theta mirrors a DEAD reference placeholder: the multiplier is
+    # commented out in the loss (s_net_bundle_nobm.py:310 "theta_loss =
+    # id_loss") yet still fed every step (train_bundle_nobm.py:219-236).
+    # Kept (and tested) purely to document the schedule; nothing consumes it.
     use_theta = jnp.where(step > cfg.no_theta_iter, f(0), f(1))
     use_theta = jnp.where(step <= cfg.do_theta_10_iter, f(10), use_theta)
     use_temp = jnp.where(step >= cfg.do_temp_loss_iter, f(1), f(0))

@@ -77,16 +77,42 @@ def test_stream_driver_refine_and_vis():
 
 
 def test_stream_driver_ablations():
+    """Every ablation runs AND actually changes the history the net sees.
+
+    The baseline is the plain on-device history; each override mode must
+    produce different stabilized output (shape checks alone would pass even
+    if an override were silently ignored).  `stable` is a DIFFERENT video so
+    infer-with-stable genuinely changes the inputs.
+    """
     clip = make_video(6, 64, 96, seed=3, jitter=2.0)
+    stable = make_video(6, 64, 96, seed=9, jitter=0.0)
     engine = build_engine()
+    base = StreamDriver(engine, DeployOptions()).stabilize_clip(clip, stable)
     for opt in (
         DeployOptions(infer_with_stable=True),
         DeployOptions(infer_with_last=True),
         DeployOptions(max_span=3),
-        DeployOptions(random_black=5),
+        DeployOptions(infer_with_stable=True, random_black=5),
     ):
-        res = StreamDriver(engine, opt).stabilize_clip(clip, stable=clip)
+        res = StreamDriver(engine, opt).stabilize_clip(clip, stable)
         assert res.frames.shape[0] == 6
+        diff = np.abs(res.frames[1:].astype(int) - base.frames[1:].astype(int))
+        assert diff.max() > 0, f"{opt} did not change the output"
+
+    # random-black occludes the stable-history path, so WITHOUT
+    # infer-with-stable it must leave the on-device pipeline untouched
+    # (reference: deploy_bundle.py:252-256 shifts stable_train_frame only).
+    rb = StreamDriver(engine, DeployOptions(random_black=5)).stabilize_clip(
+        clip, stable)
+    np.testing.assert_array_equal(rb.frames, base.frames)
+
+    # random-black must change what infer-with-stable alone feeds.
+    iws = StreamDriver(engine, DeployOptions(infer_with_stable=True)
+                       ).stabilize_clip(clip, stable)
+    iws_rb = StreamDriver(
+        engine, DeployOptions(infer_with_stable=True, random_black=5)
+    ).stabilize_clip(clip, stable)
+    assert np.abs(iws.frames.astype(int) - iws_rb.frames.astype(int)).max() > 0
 
 
 def test_multi_stream_lockstep():
