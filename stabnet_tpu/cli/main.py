@@ -45,19 +45,39 @@ def _add_stabilize_args(p: argparse.ArgumentParser):
 def cmd_train(args):
     from stabnet_tpu.config import get_config
     from stabnet_tpu.data.pipeline import InputPipeline
+    from stabnet_tpu.parallel import initialize_distributed
     from stabnet_tpu.train.loop import train
+
+    initialize_distributed()  # no-op unless a coordinator is configured
 
     cfg = get_config(args.config)
     if args.model_dir:
         cfg = cfg.replace(model_dir=args.model_dir)
     if args.log_dir:
         cfg = cfg.replace(log_dir=args.log_dir)
-    train_it = InputPipeline(os.path.join(args.data, "train"), cfg, seed=args.seed)
+
+    import jax
+
     test_dir = os.path.join(args.data, "test")
-    test_it = (
-        InputPipeline(test_dir, cfg, seed=args.seed + 1)
-        if os.path.isdir(test_dir) else None
-    )
+    if args.data_parallel and jax.process_count() > 1:
+        # Multi-host: each process reads its disjoint stream shard and feeds
+        # its local chips; batches arrive globally sharded over the mesh.
+        from stabnet_tpu.parallel import MultiHostPipeline, data_mesh
+
+        mesh = data_mesh()
+        train_it = MultiHostPipeline(os.path.join(args.data, "train"), cfg,
+                                     mesh, seed=args.seed)
+        test_it = (
+            MultiHostPipeline(test_dir, cfg, mesh, seed=args.seed + 1)
+            if os.path.isdir(test_dir) else None
+        )
+    else:
+        train_it = InputPipeline(os.path.join(args.data, "train"), cfg,
+                                 seed=args.seed)
+        test_it = (
+            InputPipeline(test_dir, cfg, seed=args.seed + 1)
+            if os.path.isdir(test_dir) else None
+        )
     train(cfg, iter(train_it), test_it and iter(test_it), restore=args.restore,
           num_steps=args.steps, use_mesh=args.data_parallel, seed=args.seed,
           debug_vis=args.debug_vis, imagenet_ckpt=args.imagenet_ckpt)

@@ -26,11 +26,16 @@ from stabnet_tpu.data.records import iterate_examples
 
 def batch_iterator(path: str, cfg: StabNetConfig, batch_size: Optional[int] = None,
                    epochs: int = 10 ** 6, shuffle: bool = True,
-                   seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """Yield raw host batches from a record directory."""
+                   seed: int = 0, shard=None) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield raw host batches from a record directory.
+
+    `shard=(index, count)` restricts to a disjoint subset of the stream
+    (multi-host input feeding; see parallel.multihost).
+    """
     bs = batch_size or cfg.batch_size
     buf = []
-    for ex in iterate_examples(path, epochs=epochs, shuffle=shuffle, seed=seed):
+    for ex in iterate_examples(path, epochs=epochs, shuffle=shuffle, seed=seed,
+                               shard=shard):
         buf.append(ex)
         if len(buf) == bs:
             yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}

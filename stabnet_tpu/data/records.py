@@ -18,7 +18,7 @@ A compatibility reader for the reference's original TFRecord schema lives in
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -53,10 +53,19 @@ def read_shard(shard_path: str) -> Dict[str, np.ndarray]:
 
 
 def iterate_examples(path: str, epochs: int = 1, shuffle: bool = True,
-                     seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream single raw examples across shards (shuffled per epoch)."""
+                     seed: int = 0,
+                     shard: Optional[Tuple[int, int]] = None
+                     ) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream single raw examples across shards (shuffled per epoch).
+
+    `shard=(index, count)` yields the disjoint 1/count subset of the stream
+    with global position == index (mod count) — multi-host input feeding:
+    every host walks the SAME shuffled order (same seed on all hosts) and
+    keeps only its residue class, so the union is exact and disjoint.
+    """
     shards = list_shards(path)
     rng = np.random.RandomState(seed)
+    pos = 0
     for _ in range(epochs):
         order = rng.permutation(len(shards)) if shuffle else np.arange(len(shards))
         for si in order:
@@ -64,7 +73,9 @@ def iterate_examples(path: str, epochs: int = 1, shuffle: bool = True,
             n = data["stable"].shape[0]
             idx = rng.permutation(n) if shuffle else np.arange(n)
             for i in idx:
-                yield {k: v[i] for k, v in data.items()}
+                if shard is None or pos % shard[1] == shard[0]:
+                    yield {k: v[i] for k, v in data.items()}
+                pos += 1
 
 
 def write_synthetic_dataset(path: str, cfg: StabNetConfig, num_examples: int,

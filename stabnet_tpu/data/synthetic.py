@@ -16,8 +16,23 @@ from stabnet_tpu.config import StabNetConfig
 
 
 def make_video(num_frames: int, height: int, width: int, seed: int = 0,
-               jitter: float = 0.0, channels: int = 3) -> np.ndarray:
-    """(T, H, W, C) uint8 synthetic clip: drifting sinusoid texture + boxes."""
+               jitter: float = 0.0, channels: int = 3,
+               return_offsets: bool = False) -> np.ndarray:
+    """(T, H, W, C) uint8 synthetic clip: drifting sinusoid texture + boxes.
+
+    With `return_offsets`, also returns the per-frame (dx, dy) translation of
+    the texture — the exact motion ground truth, from which consistent
+    optical flow and feature matches can be derived (`make_raw_example`).
+    Two clips with the same seed share drift and texture; `jitter` adds
+    independent per-frame shake on top (the "unstable" camera).
+
+    The whole frame (sinusoid texture AND the high-contrast box) translates
+    rigidly by the returned offset: content at coordinate q sits at pixel
+    q - offset[t].  Nothing moves against the global motion, so a
+    translation-only flow/match model is EXACT — a frame-flipping or
+    independently-moving box would make the temporal/feature losses
+    unsatisfiable and synthetic training would diverge once they gate in.
+    """
     rng = np.random.RandomState(seed)
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
     phase_x = rng.uniform(0, 2 * np.pi)
@@ -25,18 +40,24 @@ def make_video(num_frames: int, height: int, width: int, seed: int = 0,
     out = np.zeros((num_frames, height, width, channels), np.uint8)
     drift = np.cumsum(rng.uniform(-1.5, 1.5, (num_frames, 2)), axis=0)
     shake = rng.uniform(-jitter, jitter, (num_frames, 2)) if jitter else np.zeros((num_frames, 2))
+    offsets = drift + shake
+    box_color = 255 if seed % 2 == 0 else 0        # seed-, not frame-, keyed
+    cbx = (17 * seed + 11) % max(width - 24, 1)    # box content coordinates
+    cby = (13 * seed + 7) % max(height - 20, 1)
     for t in range(num_frames):
-        dx, dy = drift[t] + shake[t]
+        dx, dy = offsets[t]
         img = (
             127.5
             + 60 * np.sin(2 * np.pi * (xs + dx) / 37 + phase_x)
             + 50 * np.sin(2 * np.pi * (ys + dy) / 29 + phase_y)
         )
-        # A couple of moving high-contrast boxes for structure.
-        bx = int((t * 3 + dx) % max(width - 20, 1))
-        by = int((t * 2 + dy) % max(height - 16, 1))
-        img[by : by + 16, bx : bx + 20] = 255 if t % 2 == 0 else 0
+        # High-contrast box riding the global translation.
+        bx = int(round(cbx - dx)) % max(width - 20, 1)
+        by = int(round(cby - dy)) % max(height - 16, 1)
+        img[by : by + 16, bx : bx + 20] = box_color
         out[t] = np.clip(img, 0, 255).astype(np.uint8)[..., None].repeat(channels, -1)
+    if return_offsets:
+        return out, offsets.astype(np.float32)
     return out
 
 
@@ -55,9 +76,11 @@ def make_raw_example(cfg: StabNetConfig, seed: int = 0) -> Dict[str, np.ndarray]
     """One raw Siamese example in the layout `augment_example` expects."""
     rng = np.random.RandomState(seed)
     span = max(cfg.indices) + 2
-    stable_clip = make_video(span + 1, cfg.height, cfg.width, seed=seed)
-    unstable_clip = make_video(span + 1, cfg.height, cfg.width, seed=seed,
-                               jitter=4.0)
+    stable_clip, st_off = make_video(span + 1, cfg.height, cfg.width,
+                                     seed=seed, return_offsets=True)
+    unstable_clip, un_off = make_video(span + 1, cfg.height, cfg.width,
+                                       seed=seed, jitter=4.0,
+                                       return_offsets=True)
     pos = span  # last frame index
 
     def g(clip, t):
@@ -80,35 +103,55 @@ def make_raw_example(cfg: StabNetConfig, seed: int = 0) -> Dict[str, np.ndarray]
                 unstable_ch.append(to_u8(g(unstable_clip, base - i)))
     unstable = np.stack(unstable_ch, axis=-1)
 
-    # Smooth random NDC correspondence map standing in for TVL1 flow.
-    gx = np.linspace(-1, 1, cfg.width, dtype=np.float32)
-    gy = np.linspace(-1, 1, cfg.height, dtype=np.float32)
-    fx, fy = np.meshgrid(gx, gy)
+    # CONSISTENT ground-truth flow (stands in for the dataset's TVL1 flow):
+    # the temporal loss samples output-2 at the flow coordinates and compares
+    # to output-1 (train_bundle_nobm.py:115-126), so flow(p) must be the
+    # location in stable frame `pos` of the content at p in stable frame
+    # pos-1.  Texture at content coordinate q sits at pixel q - d_t, hence
+    # flow(p) = p + d_{pos-1} - d_pos, in the sampler's (x+1)*size/2 NDC
+    # convention.  An inconsistent (random) flow makes the temporal loss
+    # unsatisfiable and training diverges once it gates in.
+    delta = st_off[pos - 1] - st_off[pos]                  # (dx, dy) pixels
+    xp, yp = np.meshgrid(np.arange(cfg.width, dtype=np.float32),
+                         np.arange(cfg.height, dtype=np.float32))
     flow = np.stack(
         [
-            fx + rng.uniform(-0.01, 0.01) + 0.005 * np.sin(fy * 3),
-            fy + rng.uniform(-0.01, 0.01) + 0.005 * np.cos(fx * 3),
+            2.0 * (xp + delta[0]) / cfg.width - 1.0,
+            2.0 * (yp + delta[1]) / cfg.height - 1.0,
         ],
         axis=-1,
     ).astype(np.float32)
 
-    n = rng.randint(cfg.max_matches // 4, cfg.max_matches // 2)
-    matches = np.zeros((cfg.max_matches, 4), np.float32)
-    pts = rng.uniform(-0.95, 0.95, (n, 2)).astype(np.float32)
-    offs = rng.uniform(-0.02, 0.02, (n, 2)).astype(np.float32)
-    matches[:n, :2] = pts
-    matches[:n, 2:] = pts + offs
-    mask = np.zeros((cfg.max_matches,), np.bool_)
-    mask[:n] = True
+    # CONSISTENT feature matches [x_stable, y_stable, x_unstable, y_unstable]:
+    # the feature loss reads the predicted map at the stable point and wants
+    # the matched unstable point back (s_net_bundle_nobm.py:335-343).  For a
+    # pure-translation pair, p_unstable = p_stable - shake_t (shake = the
+    # unstable clip's extra offset).  Small noise models SIFT localization
+    # error.
+    def make_matches(t):
+        shake = un_off[t] - st_off[t]
+        n = rng.randint(cfg.max_matches // 4, cfg.max_matches // 2)
+        matches = np.zeros((cfg.max_matches, 4), np.float32)
+        pts = rng.uniform(-0.9, 0.9, (n, 2)).astype(np.float32)
+        noise = rng.uniform(-0.005, 0.005, (n, 2)).astype(np.float32)
+        matches[:n, :2] = pts
+        matches[:n, 2] = pts[:, 0] - 2.0 * shake[0] / cfg.width + noise[:, 0]
+        matches[:n, 3] = pts[:, 1] - 2.0 * shake[1] / cfg.height + noise[:, 1]
+        mask = np.zeros((cfg.max_matches,), np.bool_)
+        mask[:n] = True
+        return matches, mask
+
+    matches1, mask1 = make_matches(pos - 1)
+    matches2, mask2 = make_matches(pos)
 
     return {
         "stable": stable,
         "unstable": unstable,
         "flow": flow,
-        "matches1": matches,
-        "mask1": mask,
-        "matches2": matches.copy(),
-        "mask2": mask.copy(),
+        "matches1": matches1,
+        "mask1": mask1,
+        "matches2": matches2,
+        "mask2": mask2,
     }
 
 

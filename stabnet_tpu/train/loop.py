@@ -89,15 +89,21 @@ def train(cfg: StabNetConfig,
     metrics = MetricsWriter(cfg.log_dir)
     timers = StageTimer()
 
+    def to_mesh(batch):
+        if mesh is None:
+            return batch
+        leaves = jax.tree_util.tree_leaves(batch)
+        if leaves and isinstance(leaves[0], jax.Array) and \
+                getattr(leaves[0].sharding, "mesh", None) == mesh:
+            return batch  # already globally sharded (MultiHostPipeline)
+        return shard_batch(jax.tree_util.tree_map(np.asarray, batch), mesh)
+
     total = num_steps if num_steps is not None else cfg.training_iter
     start = int(state.step)
     aux = None
     for i in range(start, total):
         with timers.stage("data"):
-            batch = next(train_batches)
-            if mesh is not None:
-                batch = shard_batch(
-                    jax.tree_util.tree_map(np.asarray, batch), mesh)
+            batch = to_mesh(next(train_batches))
         with timers.stage("step"):
             state, aux = step_fn(state, batch)
 
@@ -128,9 +134,7 @@ def train(cfg: StabNetConfig,
         if test_batches is not None and (i % cfg.test_freq == 0 or i == total - 1):
             losses = []
             for _ in range(cfg.test_batches):
-                tb = next(test_batches)
-                if mesh is not None:
-                    tb = shard_batch(jax.tree_util.tree_map(np.asarray, tb), mesh)
+                tb = to_mesh(next(test_batches))
                 ea = eval_fn(state, tb)
                 losses.append(float(ea["total"]))
             test_loss = float(np.mean(losses))
