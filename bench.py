@@ -73,6 +73,18 @@ def main():
     fps_s1 = measure(gray1, color1, "s1")
     fps_batch = measure(grayS, colorS, "batch")
 
+    # Device-side per-frame online latency by the SLOPE method: time the
+    # single-stream whole-clip scan at two clip lengths and divide the delta
+    # by the extra frames.  Fixed costs (dispatch, the host<->TPU tunnel RTT
+    # on this rig, fence readback) cancel; what remains is the marginal
+    # device time per online frame — the number that applies on
+    # directly-attached hardware (<10 ms p50 north star, BASELINE.md).
+    T_short = 21
+    fps_short = measure(gray1[:, :T_short], color1[:, :T_short], "s1short")
+    t_long = (T - 1) * repeats / fps_s1
+    t_short = (T_short - 1) * repeats / fps_short
+    device_ms = (t_long - t_short) / ((T - T_short) * repeats) * 1e3
+
     # Frame-at-a-time online latency (includes the host<->device link; on the
     # CI rig that link is a tunnel with ~26 ms RTT, so this is an upper bound).
     state1 = engine.init(gray1[:, 0])
@@ -87,7 +99,8 @@ def main():
     stats = {
         "fps_720p_single_stream": fps_s1,
         "fps_720p_batch8_per_chip": fps_batch,
-        "online_step_latency_p50_ms": float(np.percentile(lat_ms, 50)),
+        "online_frame_latency_device_ms_slope": round(device_ms, 3),
+        "online_step_latency_wall_p50_ms": float(np.percentile(lat_ms, 50)),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(stats), file=sys.stderr)
@@ -99,6 +112,10 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline_fps, 4),
+        # Secondary gates (BASELINE.md): device-side marginal per-frame time
+        # (slope-measured; the wall number below includes this rig's tunnel).
+        "online_latency_device_ms": round(device_ms, 3),
+        "online_latency_wall_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
     }))
 
 

@@ -89,4 +89,7 @@ def forward(model: StabNetRegressor, variables, x: jax.Array, cfg: StabNetConfig
 
 def init_variables(model: StabNetRegressor, cfg: StabNetConfig, rng: jax.Array):
     x = jnp.zeros((1, cfg.height, cfg.width, cfg.in_channels), jnp.float32)
-    return model.init(rng, x, train=False)
+    # One compiled program instead of eager per-parameter dispatch: unjitted,
+    # flax init issues thousands of small ops, which on a remote-attached
+    # device (host<->TPU tunnel) costs minutes of round-trips.
+    return jax.jit(lambda r: model.init(r, x, train=False))(rng)
