@@ -34,6 +34,17 @@ def main():
     cfg = get_config("v2_93")
     model = make_model(cfg)
     variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    # A randomly initialized theta head emits O(1)-NDC mesh offsets — local
+    # warp stretches ~20x anything a converged stabilizer produces (training
+    # drives theta toward zero via id_loss; deployed meshes correct a few % of
+    # the frame).  Scale the final head layer so the benchmarked warp field
+    # has production magnitude; the engine's tile-window guard and its wide
+    # tiers stay live in the measured path, so out-of-window handling is still
+    # part of what is being timed.
+    variables = jax.tree_util.tree_map_with_path(
+        lambda p, a: a * 0.05 if "head" in str(p) and "out" in str(p) else a,
+        variables,
+    )
 
     out_h, out_w = 720, 1280
     T = 61           # frames per clip (T-1 processed)

@@ -1,0 +1,134 @@
+"""Sweep Pallas warp kernel configs on real maps (run on the TPU rig).
+
+Times warp_uint8_cf / bilinear_sample_pallas for candidate (tile, band,
+align) configs against realistic maps produced by a random-weight net, and
+checks uint8 parity vs the XLA sampler.  Timing is slope-fenced: enqueue k
+executions between scalar-readback fences for two values of k; the slope
+removes the tunnel RTT and fence cost.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stabnet_tpu.config import get_config
+from stabnet_tpu.data.synthetic import make_video
+from stabnet_tpu.models import init_variables, make_model
+from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas, warp_uint8_cf
+from stabnet_tpu.ops.resize import resize_bilinear_bhw as rb
+from stabnet_tpu.ops.warp import bilinear_sample
+from stabnet_tpu.stream.engine import _net_forward, assemble_input, init_state
+from stabnet_tpu.stream.video_io import to_gray_train
+
+
+def fence(arr):
+    return float(jnp.sum(arr))
+
+
+def timeit(fn, im, xs, ys, k1=32, k2=160):
+    """Device-side scan loop around fn; slope over two loop lengths removes
+    the dispatch/tunnel fixed cost.  A per-iteration map perturbation defeats
+    loop-invariant hoisting."""
+    import jax.lax as lax
+
+    def make(k):
+        def body(c, i):
+            out = fn(im, xs + i.astype(jnp.float32) * 1e-6, ys)
+            return c + jnp.sum(out[..., ::53, ::97].astype(jnp.int32)), None
+
+        def run(im_, xs_, ys_):
+            tot, _ = lax.scan(body, jnp.zeros((), jnp.int32), jnp.arange(k))
+            return tot
+
+        return jax.jit(lambda: run(im, xs, ys))
+
+    f1, f2 = make(k1), make(k2)
+    fence(f1())                     # compile + warm
+    fence(f2())
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fence(f1())
+        t1 = time.perf_counter()
+        fence(f2())
+        t2 = time.perf_counter()
+        reps.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
+    return min(reps)
+
+
+def main():
+    cfg = get_config("v2_93")
+    model = make_model(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    out_h, out_w = 720, 1280
+    H, W = cfg.height, cfg.width
+
+    frame = make_video(1, out_h, out_w, seed=0, jitter=0.0)[0]
+    gray = to_gray_train(frame, H, W)[None]
+    g1 = jnp.asarray(gray)
+    state = init_state(g1, cfg)
+    x = assemble_input(state, g1, cfg)
+    warp = jax.jit(lambda v, x: _net_forward(model, v, x, cfg,
+                                             use_pallas=True))(variables, x)
+    xm, ym = warp.x_map, warp.y_map
+    rate = 4
+    xs = rb(rb(xm, (H // rate, W // rate)), (out_h, out_w))
+    ys = rb(rb(ym, (H // rate, W // rate)), (out_h, out_w))
+    imc = jnp.asarray(frame.transpose(2, 0, 1)[None])          # (1,3,720,1280)
+
+    ref = bilinear_sample(jnp.asarray(frame, jnp.float32)[None], xs, ys)
+    ref_u8 = np.asarray(jnp.clip(jnp.round(ref), 0, 255).astype(jnp.uint8))
+
+    part = sys.argv[1] if len(sys.argv) > 1 else "720"
+
+    print("== 720p color warp (uint8, exact=False) ==")
+    # x_band = per-tile weight SPAN (roll-aligned window)
+    cands = [
+        dict(tile_h=32, tile_w=64, y_band=112, x_band=176),
+        dict(tile_h=32, tile_w=64, y_band=104, x_band=168),
+        dict(tile_h=16, tile_w=64, y_band=80, x_band=176),
+        dict(tile_h=16, tile_w=64, y_band=88, x_band=184),
+        dict(tile_h=32, tile_w=64, y_band=112, x_band=184),
+    ]
+    if part not in ("720", "all"):
+        cands = []
+    for c in cands:
+        try:
+            fn = lambda i, a, b: warp_uint8_cf(i, a, b, guard=False, **c)
+            out = np.asarray(fn(imc, xs, ys))
+            d = np.abs(out.astype(int) - ref_u8.astype(int))
+            ms = timeit(fn, imc, xs, ys)
+            print(f"{c}  maxdiff={d.max()} frac>1={(d > 1).mean():.2e}  {ms:.3f} ms")
+        except Exception as e:
+            print(f"{c}  FAILED: {type(e).__name__}: {str(e)[:120]}")
+
+    print("== 288p gray warp (f32, exact=True) ==")
+    cur = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 1), jnp.float32)
+    ref288 = np.asarray(bilinear_sample(cur, xm, ym))
+    cands288 = [
+        dict(tile_h=16, tile_w=64, y_band=48, x_band=128),   # new default
+        dict(tile_h=16, tile_w=64, y_band=56, x_band=128),
+        dict(tile_h=16, tile_w=32, y_band=48, x_band=96),
+        dict(tile_h=8, tile_w=64, y_band=40, x_band=128),
+    ]
+    if part not in ("288", "all"):
+        cands288 = []
+    for c in cands288:
+        try:
+            fn = lambda i, a, b: bilinear_sample_pallas(i, a, b, guard=False, **c)
+            out = np.asarray(fn(cur, xm, ym))
+            d = np.abs(out - ref288)
+            ms = timeit(fn, cur, xm, ym)
+            print(f"{c}  maxdiff={d.max():.2e}  {ms:.3f} ms")
+        except Exception as e:
+            print(f"{c}  FAILED: {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()
