@@ -292,7 +292,7 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
 
     def run_fallback():
         # Window-free (and slow) pure-XLA sampler; only taken when some
-        # tile's sample spread exceeds even the wide-tier window.
+        # tile's sample spread exceeds even the widest-tier window.
         from stabnet_tpu.ops import warp as xla_warp
 
         im_cl = jnp.moveaxis(imc[:, :, :H, :W], 1, -1).astype(jnp.float32)
@@ -301,22 +301,28 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
             return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
         return out.astype(jnp.float32)
 
-    # Wide second tier: covers strong meshes (the vertex clamp is
-    # +/-1/do_crop_rate NDC allows local stretches ~3x what a converged
-    # stabilizer emits) at ~1.5-2x the fast tier's cost, still far from the
-    # serial-gather fallback.
-    YB2 = min(_ceil_mult(2 * YB, 8), Hp_im)
-    XW2 = min(_ceil_mult(XW + 96, 8), Wp_im)
+    # Window tiers.  Tier 1 is sized for converged-model meshes (local warp
+    # stretch ~= 1); tier 2 covers strong meshes at ~1.5-2x the cost; tier 3
+    # covers near-pathological stretches (the vertex clamp is
+    # +/-1/do_crop_rate NDC) at ~3-4x.  Only beyond that does the call drop
+    # to the serial-gather XLA sampler.  The kernel cost scales with the
+    # window, so each tier only pays for the spread class it serves; the
+    # per-tile spread checks below share subexpressions under one jit.
+    tiers = []
+    for yb, xw in ((YB, XW), (2 * YB, XW + 64), (4 * YB, XW + 160)):
+        yb = min(_ceil_mult(yb, 8), Hp_im)
+        xw = min(_ceil_mult(xw, 8), Wp_im)
+        if (yb, xw) not in tiers:
+            tiers.append((yb, xw))
 
-    ok1 = _windows_ok(x_pix, y_pix, H, W, YB, XW, Hp_im)
-    if (YB2, XW2) == (YB, XW):
-        return jax.lax.cond(ok1, make_run(YB, XW), run_fallback)
-    ok2 = _windows_ok(x_pix, y_pix, H, W, YB2, XW2, Hp_im)
-    return jax.lax.cond(
-        ok1,
-        make_run(YB, XW),
-        lambda: jax.lax.cond(ok2, make_run(YB2, XW2), run_fallback),
-    )
+    def chain(remaining):
+        if not remaining:
+            return run_fallback
+        (yb, xw) = remaining[0]
+        ok = _windows_ok(x_pix, y_pix, H, W, yb, xw, Hp_im)
+        return lambda: jax.lax.cond(ok, make_run(yb, xw), chain(remaining[1:]))
+
+    return chain(tiers)()
 
 
 @functools.partial(
@@ -325,7 +331,7 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                      "exact", "guard", "strict_edge"),
 )
 def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
-                           y_band: int = 56, x_band: int = 128,
+                           y_band: int = 32, x_band: int = 80,
                            interpret: Optional[bool] = None,
                            tile_h: int = 16, tile_w: int = 64,
                            exact: bool = True, guard: bool = True,
@@ -363,7 +369,7 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                      "exact", "guard"),
 )
 def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
-                  y_band: int = 96, x_band: int = 160,
+                  y_band: int = 48, x_band: int = 96,
                   interpret: Optional[bool] = None,
                   tile_h: int = 32, tile_w: int = 64,
                   exact: bool = False, guard: bool = True) -> jax.Array:
