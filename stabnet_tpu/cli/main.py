@@ -66,14 +66,16 @@ def cmd_train(args):
 
         mesh = data_mesh()
         train_it = MultiHostPipeline(os.path.join(args.data, "train"), cfg,
-                                     mesh, seed=args.seed)
+                                     mesh, seed=args.seed,
+                                     compute_flow=args.compute_flow)
         test_it = (
             MultiHostPipeline(test_dir, cfg, mesh, seed=args.seed + 1)
             if os.path.isdir(test_dir) else None
         )
     else:
         train_it = InputPipeline(os.path.join(args.data, "train"), cfg,
-                                 seed=args.seed)
+                                 seed=args.seed,
+                                 compute_flow=args.compute_flow)
         test_it = (
             InputPipeline(test_dir, cfg, seed=args.seed + 1)
             if os.path.isdir(test_dir) else None
@@ -216,6 +218,11 @@ def main(argv=None):
                    help="dump per-eval debug mosaics (save_warpped_features equivalent)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--compute-flow", action="store_true",
+                   help="estimate the temporal-loss flow on device (TV-L1, "
+                        "stabnet_tpu.ops.flow) instead of reading it from "
+                        "the record shards; required for shards without a "
+                        "flow field")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_train)
 

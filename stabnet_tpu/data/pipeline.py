@@ -72,9 +72,25 @@ class InputPipeline:
 
     def __init__(self, path: str, cfg: StabNetConfig, seed: int = 0,
                  batch_size: Optional[int] = None, prefetch_depth: int = 2,
-                 shuffle: bool = True):
+                 shuffle: bool = True, compute_flow: bool = False):
+        """`compute_flow=True` replaces (or supplies, for shards without a
+        `flow` field) the record flow with on-device TV-L1 flow between the
+        AUGMENTED stable pair — the estimate is consistent with the images by
+        construction, where record flow must be warped alongside them
+        (reference warp_flow, get_data_mini_after.py:31-48)."""
         self.cfg = cfg
-        self._aug = jax.jit(lambda key, raw: augment.augment_batch(key, raw, cfg))
+
+        def aug(key, raw):
+            batch = augment.augment_batch(key, raw, cfg)
+            if compute_flow:
+                from stabnet_tpu.ops import flow as flow_ops
+
+                u = flow_ops.tvl1_flow(batch["y1"][..., 0], batch["y2"][..., 0])
+                batch["flow"] = flow_ops.flow_to_sampling(u)
+            return batch
+
+        self._aug = jax.jit(aug)
+        self._compute_flow = compute_flow
         self._key = jax.random.PRNGKey(seed)
         self._raw = prefetch(
             batch_iterator(path, cfg, batch_size=batch_size, shuffle=shuffle,
@@ -87,6 +103,20 @@ class InputPipeline:
 
     def __next__(self):
         raw = next(self._raw)
+        if "flow" not in raw:
+            if not self._compute_flow:
+                raise ValueError(
+                    "record shards have no `flow` field; train with "
+                    "--compute-flow (on-device TV-L1) or bake flow into the "
+                    "shards"
+                )
+            # Identity placeholder so the augmentation graph is uniform; the
+            # computed flow overwrites it after augmentation.
+            B = raw["stable"].shape[0]
+            H, W = self.cfg.height, self.cfg.width
+            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+            ident = np.stack([2.0 * xs / W - 1.0, 2.0 * ys / H - 1.0], axis=-1)
+            raw["flow"] = np.broadcast_to(ident, (B, H, W, 2)).copy()
         self._key, sub = jax.random.split(self._key)
         raw = augment.prepare_raw(raw)
         return self._aug(sub, raw)

@@ -30,10 +30,13 @@ SHARD_KEYS = ("stable", "unstable", "flow", "matches1", "mask1", "matches2", "ma
 def write_shards(path: str, examples: Sequence[Dict[str, np.ndarray]],
                  shard_size: int = 64) -> List[str]:
     os.makedirs(path, exist_ok=True)
+    # `flow` is optional: shards without it train with on-device TV-L1 flow
+    # (`train --compute-flow`; stabnet_tpu.ops.flow).
+    keys = [k for k in SHARD_KEYS if k in examples[0]]
     names = []
     for s in range(0, len(examples), shard_size):
         chunk = examples[s : s + shard_size]
-        arrays = {k: np.stack([e[k] for e in chunk]) for k in SHARD_KEYS}
+        arrays = {k: np.stack([e[k] for e in chunk]) for k in keys}
         name = f"shard-{s // shard_size:05d}.npz"
         np.savez_compressed(os.path.join(path, name), n=len(chunk), **arrays)
         names.append(name)
@@ -49,7 +52,7 @@ def list_shards(path: str) -> List[str]:
 
 def read_shard(shard_path: str) -> Dict[str, np.ndarray]:
     with np.load(shard_path) as z:
-        return {k: z[k] for k in SHARD_KEYS}
+        return {k: z[k] for k in SHARD_KEYS if k in z}
 
 
 def iterate_examples(path: str, epochs: int = 1, shuffle: bool = True,

@@ -15,6 +15,7 @@ from stabnet_tpu.ops.warp import (
     transformer,
 )
 from stabnet_tpu.ops.crop import max_clear_rect, max_clear_rect_bruteforce
+from stabnet_tpu.ops.flow import flow_to_sampling, tvl1_flow
 
 __all__ = [
     "WarpResult",
@@ -24,6 +25,7 @@ __all__ = [
     "black_mask",
     "cell_pts",
     "dense_maps",
+    "flow_to_sampling",
     "max_clear_rect",
     "max_clear_rect_bruteforce",
     "mesh_cell_corners",
@@ -31,4 +33,5 @@ __all__ = [
     "solve_dlt",
     "theta_to_mesh",
     "transformer",
+    "tvl1_flow",
 ]

@@ -100,16 +100,27 @@ class MultiHostPipeline:
 
     def __init__(self, path: str, cfg: StabNetConfig, mesh: Mesh,
                  seed: int = 0, global_batch_size: Optional[int] = None,
-                 prefetch_depth: int = 2, shuffle: bool = True):
+                 prefetch_depth: int = 2, shuffle: bool = True,
+                 compute_flow: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         gbs = global_batch_size or cfg.batch_size
         self._local_bs = local_batch_size(gbs)
+        self._compute_flow = compute_flow
         shard = (jax.process_index(), jax.process_count())
         sharding = NamedSharding(mesh, P(cfg.mesh_data_axis))
 
         def aug(key, raw):
-            return augment.augment_batch(key, raw, cfg)
+            batch = augment.augment_batch(key, raw, cfg)
+            if compute_flow:
+                # On-device TV-L1 between the augmented stable pair; batch-
+                # sharded like everything else (pure per-example math, no
+                # cross-chip dependence), so it scales with the mesh.
+                from stabnet_tpu.ops import flow as flow_ops
+
+                u = flow_ops.tvl1_flow(batch["y1"][..., 0], batch["y2"][..., 0])
+                batch["flow"] = flow_ops.flow_to_sampling(u)
+            return batch
 
         self._aug = jax.jit(aug, in_shardings=(None, sharding),
                             out_shardings=sharding)
@@ -125,6 +136,18 @@ class MultiHostPipeline:
 
     def __next__(self):
         local = next(self._raw)
+        if "flow" not in local:
+            if not self._compute_flow:
+                raise ValueError(
+                    "record shards have no `flow` field; train with "
+                    "--compute-flow (on-device TV-L1) or bake flow into the "
+                    "shards"
+                )
+            B = local["stable"].shape[0]
+            H, W = self.cfg.height, self.cfg.width
+            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+            ident = np.stack([2.0 * xs / W - 1.0, 2.0 * ys / H - 1.0], axis=-1)
+            local["flow"] = np.broadcast_to(ident, (B, H, W, 2)).copy()
         local = augment.prepare_raw(local)
         batch = form_global_batch(local, self.mesh, self.cfg.mesh_data_axis)
         self._key, sub = jax.random.split(self._key)
