@@ -147,6 +147,47 @@ def cmd_stabilize(args):
         sys.exit(1)
 
 
+def cmd_evaluate(args):
+    """Score stabilized output(s): stability / cropping / distortion.
+
+    The reference repo has no metric tooling at all — quality is judged by
+    watching the videos.  This scores clips with the standard Bundled-Camera-
+    Paths metrics (the ones the StabNet paper reports), computed from the
+    framework's own on-device TV-L1 flow (stabnet_tpu/eval/metrics.py).
+    """
+    import json
+
+    import numpy as np
+
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.eval import evaluate_clip
+    from stabnet_tpu.stream.video_io import VideoReader, to_gray_train
+
+    cfg = get_config(args.config)
+
+    def read_gray(path, limit):
+        frames = []
+        r = VideoReader(path)
+        for f in r:
+            frames.append(to_gray_train(f, cfg.height, cfg.width))
+            if limit and len(frames) >= limit:
+                break
+        r.close()
+        if not frames:
+            raise ValueError(f"no frames decoded from {path}")
+        return np.stack(frames)
+
+    out = read_gray(args.output, args.max_frames)
+    inp = None
+    if args.input:
+        inp = read_gray(args.input, args.max_frames)
+        n = min(len(out), len(inp))
+        out, inp = out[:n], inp[:n]
+    scores = evaluate_clip(out, inp)
+    scores["frames"] = int(out.shape[0])
+    print(json.dumps(scores))
+
+
 def cmd_bench(args):
     import runpy
 
@@ -229,6 +270,17 @@ def main(argv=None):
     p = sub.add_parser("stabilize", help="streaming deploy (deploy_bundle equivalent)")
     _add_stabilize_args(p)
     p.set_defaults(fn=cmd_stabilize)
+
+    p = sub.add_parser("evaluate",
+                       help="stability/cropping/distortion scores for a "
+                            "stabilized clip")
+    p.add_argument("--output", required=True, help="stabilized video")
+    p.add_argument("--input", default=None,
+                   help="original (unstable) video; enables cropping + "
+                        "distortion scores")
+    p.add_argument("--config", default="v2_93")
+    p.add_argument("--max-frames", type=int, default=120)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)

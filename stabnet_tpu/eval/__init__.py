@@ -1,0 +1,15 @@
+from stabnet_tpu.eval.metrics import (
+    cropping_score,
+    distortion_score,
+    evaluate_clip,
+    fit_homographies,
+    stability_score,
+)
+
+__all__ = [
+    "cropping_score",
+    "distortion_score",
+    "evaluate_clip",
+    "fit_homographies",
+    "stability_score",
+]

@@ -152,7 +152,8 @@ def tvl1_flow(i0: jax.Array, i1: jax.Array, *, num_levels: int = 4,
 
     Args:
       i0, i1: (B, H, W) grayscale frames; any affine intensity range (they
-        are rescaled to [0, 1] internally — `lam` is calibrated for that).
+        are rescaled to [0, 255] internally — `lam` is calibrated for 8-bit
+        intensities, following the IPOL reference implementation).
       num_levels: pyramid depth (scale 0.5 per level).
       num_warps / num_iters: warps per level / primal-dual iterations per
         warp.  The defaults recover a 3.6-px translation to 0.01-px p90
@@ -163,9 +164,13 @@ def tvl1_flow(i0: jax.Array, i1: jax.Array, *, num_levels: int = 4,
       (B, H, W, 2) pixel displacement u with i0(p) ~= i1(p + u(p)).
     """
     B, H, W = i0.shape
+    # Normalize to [0, 255]: lambda's data-vs-TV balance AND the hinge-case
+    # step size (l_t * |grad I|) are calibrated for 8-bit intensities in the
+    # IPOL reference; on [0,1] images the steps are 255x too small and the
+    # solver visibly stalls on spatially varying fields.
     lo = jnp.minimum(jnp.min(i0), jnp.min(i1))
     hi = jnp.maximum(jnp.max(i0), jnp.max(i1))
-    scale = 1.0 / jnp.maximum(hi - lo, 1e-6)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
     i0 = (i0.astype(jnp.float32) - lo) * scale
     i1 = (i1.astype(jnp.float32) - lo) * scale
 
