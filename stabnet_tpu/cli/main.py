@@ -37,6 +37,9 @@ def _add_stabilize_args(p: argparse.ArgumentParser):
     p.add_argument("--start-with-stable", action="store_true")
     p.add_argument("--refine", type=int, default=1)
     p.add_argument("--deploy-vis", action="store_true")
+    p.add_argument("--metrics", action="store_true",
+                   help="print stability/cropping/distortion scores per clip "
+                        "(stabnet_tpu.eval)")
     p.add_argument("--config", default="v2_93")
     p.add_argument("--output-size", type=int, nargs=2, default=None,
                    metavar=("H", "W"))
@@ -134,11 +137,29 @@ def cmd_stabilize(args):
     failures = 0
     for name in videos:
         try:
-            driver.stabilize_file(
+            res = driver.stabilize_file(
                 os.path.join(args.prefix, "unstable", name),
                 args.output_dir,
                 stable_path=os.path.join(args.prefix, "stable", name),
             )
+            if args.metrics:
+                import json
+
+                import numpy as np
+
+                from stabnet_tpu.eval import evaluate_clip
+                from stabnet_tpu.stream.video_io import VideoReader, to_gray_train
+
+                out_gray = np.stack([to_gray_train(f, cfg.height, cfg.width)
+                                     for f in res.frames])
+                r = VideoReader(os.path.join(args.prefix, "unstable", name))
+                in_gray = np.stack([to_gray_train(f, cfg.height, cfg.width)
+                                    for f in r])
+                r.close()
+                n = min(len(out_gray), len(in_gray))
+                scores = evaluate_clip(out_gray[:n], in_gray[:n])
+                scores["video"] = name
+                print(json.dumps(scores))
         except Exception as e:  # keep going; one bad clip must not kill the batch
             failures += 1
             print(f"error: {name}: {e}", file=sys.stderr)
