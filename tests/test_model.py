@@ -70,3 +70,4 @@ def test_mesh_clamped_to_crop_bound():
     out = forward(model, variables, x, CFG, train=False)
     bound = 1.0 / CFG.do_crop_rate + 1e-6
     assert float(jnp.max(jnp.abs(out.mesh))) <= bound
+
