@@ -38,7 +38,7 @@ needed).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -386,6 +386,240 @@ def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
                         tile_h, exact, out_uint8=True, tile_w=tile_w,
                         guard=guard)
+
+
+# --- adjoint (splat) kernel: d out / d image at fixed maps --------------------
+
+def _splat_kernel(x_ref, y_ref, g_ref, acc_in, out_hbm, win, sem, *,
+                  H: int, W: int, YB: int, XW: int, XB: int, C: int):
+    """Accumulate one output tile's cotangent into its image window.
+
+    The adjoint of `_warp_kernel`'s G = win @ Wh, out = sum(G * Wv):
+    d win = (Wv * g) @ Wh^T, rolled back to the window's aligned columns and
+    added to the image-cotangent buffer in HBM.  The TPU grid is sequential,
+    so the read-modify-write of overlapping windows between neighboring
+    tiles is race-free (both DMAs complete inside each grid step).
+    """
+    x = x_ref[0, 0, 0]
+    y = y_ref[0, 0, 0]
+    N = x.shape[-1]
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+
+    Hp_im = _ceil_mult(H, 8)
+    Wp_im = _ceil_mult(W, 128)
+    xmin = jnp.min(x0c)
+    ybase = jnp.maximum(jnp.minimum(jnp.min(y0c) & ~7, Hp_im - YB), 0)
+    xbase = jnp.maximum(jnp.minimum(xmin & ~127, Wp_im - XB), 0)
+    ybase = pl.multiple_of(ybase, 8)
+    xbase = pl.multiple_of(xbase, 128)
+    xroll = xmin - xbase
+
+    b = pl.program_id(0)
+    read = pltpu.make_async_copy(
+        out_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)], win, sem)
+    read.start()
+
+    # Weights exactly as the forward builds them (validity folded into the
+    # relative coordinate; strict upper bound = the clamped-corner
+    # cancellation, so the adjoint matches the XLA autodiff's scatter).
+    vx = (x >= 0.0) & (x < W - 1)
+    vy = (y >= 0.0) & (y < H - 1)
+    xrel = jnp.where(vx, x - xmin.astype(jnp.float32), -4.0)
+    yrel = jnp.where(vy, y - ybase.astype(jnp.float32), -4.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (XW, N), 0).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (YB, N), 0).astype(jnp.float32)
+    Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols))              # (XW, N)
+    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows))              # (YB, N)
+
+    g = g_ref[0, 0, 0]                                             # (C, N)
+    # A[c*YB + r, n] = Wv[r, n] * g[c, n]  (channels share Wv).
+    A = (Wv[None] * g[:, None, :]).reshape(C * YB, N)
+    contrib = jax.lax.dot_general(
+        A, Wh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                              # (C*YB, XW)
+    if XB > XW:
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((C * YB, XB - XW), jnp.float32)], axis=1)
+    contrib = pltpu.roll(contrib, xroll, axis=1)
+    read.wait()
+    win[:] = win[:] + contrib.reshape(C, YB, XB)
+    write = pltpu.make_async_copy(
+        win, out_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)], sem)
+    write.start()
+    write.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("im_hw", "y_band", "x_band", "interpret", "tile_h",
+                     "tile_w", "guard"),
+)
+def bilinear_splat_pallas(g: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
+                          im_hw: Tuple[int, int], y_band: int = 48,
+                          x_band: int = 152,
+                          interpret: Optional[bool] = None,
+                          tile_h: int = 32, tile_w: int = 128,
+                          guard: bool = True) -> jax.Array:
+    """Adjoint of `bilinear_sample_pallas`: splat cotangents into the image.
+
+    Args:
+      g: (B, Ho, Wo, C) output cotangent.
+      x_ndc, y_ndc: the SAME (B, Ho, Wo) sample maps as the forward.
+      im_hw: (H, W) of the image whose cotangent to produce.
+
+    Returns:
+      (B, H, W, C) image cotangent, equal to the XLA autodiff's
+      scatter-based d/d image (matmul rounding aside).
+
+    XLA lowers the scatter to a serial loop on TPU (measured ~120 ms for the
+    batch-10 288p temporal-loss warp); this kernel reformulates it as the
+    transposed one-hot matmul per tile, accumulating windows in HBM across
+    the (sequential) grid.
+    """
+    H, W = im_hw
+    B, Ho, Wo, C = g.shape
+    TILE_N = tile_h * tile_w
+    assert TILE_N % 128 == 0, (tile_h, tile_w)
+    g0, x_ndc0, y_ndc0 = g, x_ndc, y_ndc
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    Hp_im = _ceil_mult(H, 8)
+    Wp_im = _ceil_mult(W, 128)
+    YB = min(_ceil_mult(y_band, 8), Hp_im)
+    XW = min(_ceil_mult(x_band, 8), Wp_im)
+
+    pho = (-Ho) % tile_h
+    pwo = (-Wo) % tile_w
+    if pho or pwo:
+        # Maps replicate (window coherence); cotangents pad with ZEROS so
+        # padded lanes splat nothing.
+        x_ndc = jnp.pad(x_ndc, ((0, 0), (0, pho), (0, pwo)), mode="edge")
+        y_ndc = jnp.pad(y_ndc, ((0, 0), (0, pho), (0, pwo)), mode="edge")
+        g = jnp.pad(g, ((0, 0), (0, pho), (0, pwo), (0, 0)))
+    Hp, Wp = Ho + pho, Wo + pwo
+    nth, ntw = Hp // tile_h, Wp // tile_w
+
+    def tile_flatten(m):
+        m = m.reshape(B, nth, tile_h, ntw, tile_w)
+        return m.transpose(0, 1, 3, 2, 4).reshape(B, nth, ntw, 1, TILE_N)
+
+    x_pix = tile_flatten((x_ndc.astype(jnp.float32) + 1.0) * (W / 2.0))
+    y_pix = tile_flatten((y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0))
+    gt = jnp.concatenate(
+        [tile_flatten(g[..., c].astype(jnp.float32)) for c in range(C)],
+        axis=3,
+    )                                               # (B, nth, ntw, C, N)
+
+    grid = (B, nth, ntw)
+
+    def make_run(yb, xw):
+        xb = min(_ceil_mult(xw + 128, 128), Wp_im)
+        kernel = functools.partial(_splat_kernel, H=H, W=W, YB=yb, XW=xw,
+                                   XB=xb, C=C)
+
+        def run_pallas():
+            acc = jnp.zeros((B, C, Hp_im, Wp_im), jnp.float32)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, 1, 1, 1, TILE_N),
+                                 lambda b, i, j: (b, i, j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 1, 1, TILE_N),
+                                 lambda b, i, j: (b, i, j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 1, C, TILE_N),
+                                 lambda b, i, j: (b, i, j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),   # accumulator (HBM)
+                ],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((B, C, Hp_im, Wp_im),
+                                               jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((C, yb, xb), jnp.float32),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+                input_output_aliases={3: 0},
+                interpret=interpret,
+            )(x_pix, y_pix, gt, acc)
+            return jnp.moveaxis(out[:, :, :H, :W], 1, -1)
+
+        return run_pallas
+
+    def run_fallback():
+        # Exact-but-serial XLA scatter (the sampler is linear in the image,
+        # so its vjp at a zero primal is the full adjoint).
+        from stabnet_tpu.ops import warp as xla_warp
+
+        zero = jnp.zeros((B, H, W, C), jnp.float32)
+        _, vjp = jax.vjp(
+            lambda im: xla_warp.bilinear_sample(im, x_ndc0, y_ndc0), zero)
+        return vjp(g0.astype(jnp.float32))[0]
+
+    if not guard:
+        return make_run(YB, XW)()
+
+    tiers = []
+    for yb, xw in ((YB, XW), (2 * YB, XW + 64)):
+        yb = min(_ceil_mult(yb, 8), Hp_im)
+        xw = min(_ceil_mult(xw, 8), Wp_im)
+        if (yb, xw) not in tiers:
+            tiers.append((yb, xw))
+
+    def chain(remaining):
+        if not remaining:
+            return run_fallback
+        (yb, xw) = remaining[0]
+        ok = _windows_ok(x_pix, y_pix, H, W, yb, xw, Hp_im)
+        return lambda: jax.lax.cond(ok, make_run(yb, xw), chain(remaining[1:]))
+
+    return chain(tiers)()
+
+
+@jax.custom_vjp
+def bilinear_sample_pallas_const_maps(im: jax.Array, x_ndc: jax.Array,
+                                      y_ndc: jax.Array) -> jax.Array:
+    """Pallas sampler with exact IMAGE gradients; the MAPS are constants.
+
+    The temporal-consistency loss warps the sibling branch's OUTPUT by the
+    dataset's optical flow (train_bundle_nobm.py:115-126): gradients must
+    flow into the sampled image, while the flow is data.  The XLA path's
+    autodiff works but lowers to serial gather/scatter loops on TPU; here
+    the forward is the exact Pallas kernel and the backward is the Pallas
+    splat (transposed one-hot matmuls).
+
+    The returned MAP cotangents are ZERO: do not use this where gradients
+    must flow into the sample coordinates — use
+    `bilinear_sample_pallas_const_image` (maps differentiable) or the XLA
+    sampler there.
+    """
+    return bilinear_sample_pallas(im, x_ndc, y_ndc, exact=True)
+
+
+def _const_maps_fwd(im, x_ndc, y_ndc):
+    out = bilinear_sample_pallas(im, x_ndc, y_ndc, exact=True)
+    return out, (im.shape, x_ndc, y_ndc)
+
+
+def _const_maps_bwd(res, g):
+    im_shape, x_ndc, y_ndc = res
+    H, W = im_shape[1], im_shape[2]
+    d_im = bilinear_splat_pallas(g, x_ndc, y_ndc, (H, W))
+    return (d_im.astype(jnp.float32), jnp.zeros_like(x_ndc),
+            jnp.zeros_like(y_ndc))
+
+
+bilinear_sample_pallas_const_maps.defvjp(_const_maps_fwd, _const_maps_bwd)
 
 
 # --- differentiable wrapper for the TRAINING warp -----------------------------

@@ -111,11 +111,23 @@ def compute_losses(model, params, batch_stats, batch: Batch, cfg: StabNetConfig,
 
     # Temporal consistency: warp branch-2 output (and its validity) by the
     # optical flow between the two stable frames, compare to branch-1 output.
+    # Gradients must flow into the WARPED IMAGE (the sibling's output) while
+    # the flow is data — on TPU this rides the Pallas forward + splat-VJP
+    # pair (the XLA gather/scatter autodiff is serial-loop lowered, measured
+    # ~120 ms of the batch-10 step); output and validity stack into one
+    # 2-channel sampling pass.
     flow = batch["flow"]
     fx, fy = flow[..., 0], flow[..., 1]
-    out2_warped = bilinear_sample(out2.warp.output, fx, fy)
     noblack2 = (1.0 - out2.warp.black_pix)[..., None]
-    noblack2_warped = bilinear_sample(noblack2, fx, fy)
+    stacked = jnp.concatenate([out2.warp.output, noblack2], axis=-1)
+    if pallas_warp:
+        from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas_const_maps
+
+        warped = bilinear_sample_pallas_const_maps(stacked, fx, fy)
+    else:
+        warped = bilinear_sample(stacked, fx, fy)
+    out2_warped = warped[..., 0:1]
+    noblack2_warped = warped[..., 1:2]
     temp = losses.temporal_loss(out1.warp.output, out1.warp.black_pix,
                                 out2_warped, noblack2_warped)
     temp = temp * gates["use_temp"]

@@ -5,10 +5,12 @@ The same kernel is additionally validated on real TPU hardware by
 interpret-mode run keeps CI hardware-independent.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from stabnet_tpu.ops import pallas_warp, warp
 from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas
 from stabnet_tpu.ops.warp import bilinear_sample
 
@@ -162,3 +164,43 @@ def test_const_image_vjp_matches_xla_grads():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_splat_matches_xla_adjoint():
+    """bilinear_splat_pallas == the XLA autodiff's scatter-based d/d image,
+    including out-of-frame coordinates and non-tile-multiple outputs."""
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 48, 64, 2
+    Ho, Wo = 40, 56
+    im = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    ys, xs = np.mgrid[0:Ho, 0:Wo].astype(np.float32)
+    xm = jnp.asarray(np.stack(
+        [(2 * (xs + rng.randn() * 2) / W - 1) * 1.06 for _ in range(B)]
+    ).astype(np.float32))
+    ym = jnp.asarray(np.stack(
+        [(2 * (ys + rng.randn() * 2) / H - 1) * 1.06 for _ in range(B)]
+    ).astype(np.float32))
+    g = jnp.asarray(rng.rand(B, Ho, Wo, C).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda im_: warp.bilinear_sample(im_, xm, ym), im)
+    ref = np.asarray(vjp(g)[0])
+    got = np.asarray(pallas_warp.bilinear_splat_pallas(g, xm, ym, (H, W)))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_const_maps_vjp_matches_xla():
+    """grad through bilinear_sample_pallas_const_maps == grad through the
+    XLA sampler wrt the image (the temporal-loss configuration)."""
+    rng = np.random.RandomState(1)
+    B, H, W, C = 2, 48, 64, 1
+    im = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    xm = jnp.asarray((2 * (xs + 1.3) / W - 1)[None].repeat(B, 0))
+    ym = jnp.asarray((2 * (ys - 0.7) / H - 1)[None].repeat(B, 0))
+
+    f_p = lambda im_: jnp.sum(
+        jnp.sin(pallas_warp.bilinear_sample_pallas_const_maps(im_, xm, ym)))
+    f_x = lambda im_: jnp.sum(jnp.sin(warp.bilinear_sample(im_, xm, ym)))
+    gp = np.asarray(jax.grad(f_p)(im))
+    gx = np.asarray(jax.grad(f_x)(im))
+    np.testing.assert_allclose(gp, gx, atol=2e-6)
