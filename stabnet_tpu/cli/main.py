@@ -254,6 +254,32 @@ def cmd_inspect_data(args):
     print(f"wrote inspection dumps -> {args.out}")
 
 
+def cmd_make_dataset(args):
+    """Raw stable/unstable video pairs -> training shards.
+
+    Closes the reference's hard dependency on the pre-baked DeepStab
+    TFRecords: feature matches are computed here (ORB + RANSAC,
+    stabnet_tpu.data.ingest) and optical flow on device at train time
+    (--compute-flow)."""
+    import os
+
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.data.ingest import build_dataset
+
+    cfg = get_config(args.config)
+    names = []
+    for list_path in args.list:
+        if os.path.isfile(list_path):
+            with open(list_path) as f:
+                names.extend(v.strip() for v in f.read().split("\n") if v.strip())
+        else:
+            names.append(list_path)
+    n = build_dataset(args.prefix, names, args.out, cfg, stride=args.stride,
+                      max_per_video=args.max_per_video)
+    print(f"wrote {n} examples -> {args.out}")
+    print("note: shards carry no flow field; train with --compute-flow")
+
+
 def cmd_make_synthetic(args):
     from stabnet_tpu.config import get_config
     from stabnet_tpu.data.records import write_synthetic_dataset
@@ -291,6 +317,20 @@ def main(argv=None):
     p = sub.add_parser("stabilize", help="streaming deploy (deploy_bundle equivalent)")
     _add_stabilize_args(p)
     p.set_defaults(fn=cmd_stabilize)
+
+    p = sub.add_parser("make-dataset",
+                       help="raw stable/unstable video pairs -> training "
+                            "shards (ORB matches; flow at train time)")
+    p.add_argument("--prefix", default="data_video",
+                   help="directory with stable/ and unstable/ subdirs")
+    p.add_argument("--list", nargs="+", required=True,
+                   help="video list file(s), or video names directly")
+    p.add_argument("--out", required=True)
+    p.add_argument("--stride", type=int, default=4,
+                   help="frames between consecutive example positions")
+    p.add_argument("--max-per-video", type=int, default=None)
+    p.add_argument("--config", default="v2_93")
+    p.set_defaults(fn=cmd_make_dataset)
 
     p = sub.add_parser("evaluate",
                        help="stability/cropping/distortion scores for a "

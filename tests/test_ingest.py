@@ -1,0 +1,99 @@
+"""Raw-video ingestion: match quality, example schema, end-to-end training.
+
+The oracle is construction: textured synthetic clips with KNOWN per-frame
+offsets, so the ORB matches' displacements must recover the ground-truth
+stable->unstable shake.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from stabnet_tpu.config import TINY
+from stabnet_tpu.data.ingest import clips_to_examples, match_frames
+
+
+def _textured_clips(cfg, T, seed=0, jitter=3.0):
+    """Stable/unstable uint8 gray clips of a shared noisy texture translated
+    by known offsets; returns (stable, unstable, shake[t] = un - st)."""
+    from scipy.ndimage import map_coordinates
+
+    rng = np.random.RandomState(seed)
+    H, W = cfg.height, cfg.width
+    big = rng.randint(0, 256, (H + 64, W + 64)).astype(np.float32)
+    # mild blur so ORB corners are localizable but plentiful
+    for _ in range(1):
+        big = (big + np.roll(big, 1, 0) + np.roll(big, -1, 0)
+               + np.roll(big, 1, 1) + np.roll(big, -1, 1)) / 5.0
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    drift = np.cumsum(rng.uniform(-1.0, 1.0, (T, 2)), axis=0)
+    shake = rng.uniform(-jitter, jitter, (T, 2))
+
+    def render(off):
+        # pixel p shows texture coordinate p + off, i.e. content at texture
+        # coordinate q sits at pixel q - off (the make_video convention).
+        return np.clip(map_coordinates(
+            big, [ys + 32 + off[1], xs + 32 + off[0]], order=1,
+            mode="nearest"), 0, 255).astype(np.uint8)
+
+    stable = np.stack([render(d) for d in drift])
+    unstable = np.stack([render(d + s) for d, s in zip(drift, shake)])
+    return stable, unstable, shake.astype(np.float32)
+
+
+def test_match_frames_recovers_shake():
+    # ORB's FAST detector needs room for its 9-px circle: use a frame size
+    # closer to the production 288x512 than the 48x64 TINY config.
+    cfg = TINY.replace(height=96, width=128)
+    stable, unstable, shake = _textured_clips(cfg, 3, seed=1)
+    m, mask = match_frames(stable[2], unstable[2], cfg)
+    assert mask.sum() >= 20
+    # content at q sits at q - off; stable->unstable displacement = -shake
+    disp_x = (m[mask, 2] - m[mask, 0]) * cfg.width / 2.0
+    disp_y = (m[mask, 3] - m[mask, 1]) * cfg.height / 2.0
+    assert abs(np.median(disp_x) - (-shake[2, 0])) < 1.0
+    assert abs(np.median(disp_y) - (-shake[2, 1])) < 1.0
+
+
+def test_clips_to_examples_schema():
+    cfg = TINY
+    span = max(cfg.indices)
+    stable, unstable, _ = _textured_clips(cfg, span + 6, seed=2)
+    exs = clips_to_examples(stable, unstable, cfg, stride=2)
+    assert len(exs) >= 2
+    e = exs[0]
+    n_hist = sum(1 for i in cfg.indices if i >= 0)
+    assert e["stable"].shape == (cfg.height, cfg.width, 2 * n_hist)
+    assert e["unstable"].shape == (cfg.height, cfg.width, 2)
+    assert e["matches1"].shape == (cfg.max_matches, 4)
+    assert e["mask1"].dtype == np.bool_
+    assert "flow" not in e
+    # channel identity: the base frame (offset 0) is the clip frame itself
+    pos = span + 1
+    np.testing.assert_array_equal(e["stable"][..., 0], stable[pos - 1])
+    np.testing.assert_array_equal(e["unstable"][..., 1], unstable[pos])
+
+
+def test_ingested_shards_train_end_to_end(tmp_path):
+    """make-dataset output -> pipeline(compute_flow) -> one finite train step."""
+    from stabnet_tpu.data.pipeline import InputPipeline
+    from stabnet_tpu.data.records import write_shards
+    from stabnet_tpu.models import make_model
+    from stabnet_tpu.train.state import create_train_state
+    from stabnet_tpu.train.train import make_train_step
+
+    cfg = TINY.replace(batch_size=2)
+    span = max(cfg.indices)
+    stable, unstable, _ = _textured_clips(cfg, span + 8, seed=3)
+    exs = clips_to_examples(stable, unstable, cfg, stride=3)
+    assert len(exs) >= 2
+    write_shards(str(tmp_path), exs, shard_size=4)
+
+    batch = next(iter(InputPipeline(str(tmp_path), cfg, batch_size=2,
+                                    shuffle=False, compute_flow=True)))
+    model = make_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    _, aux = step(state, batch)
+    assert np.isfinite(float(aux["total"]))
+    assert np.isfinite(float(aux["feature1"]))
