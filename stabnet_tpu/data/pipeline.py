@@ -43,7 +43,11 @@ def batch_iterator(path: str, cfg: StabNetConfig, batch_size: Optional[int] = No
 
 
 def prefetch(it: Iterator, depth: int = 2) -> Iterator:
-    """Run an iterator in a background thread with a bounded queue."""
+    """Run an iterator in a background thread with a bounded queue.
+
+    Worker exceptions re-raise in the consumer (the worker also dispatches
+    device work, so its failures must not degrade into a silent
+    StopIteration)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
 
@@ -51,8 +55,9 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(done)
+        except BaseException as e:  # noqa: BLE001 - transported to consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -60,6 +65,8 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is done:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -67,7 +74,11 @@ class InputPipeline:
     """Raw record batches -> augmented device batches.
 
     Augmentation runs jitted on device; the returned batches are ready for
-    `train_step`.
+    `train_step`.  The host->device upload AND the augmentation dispatch
+    happen inside the prefetch worker thread, so batch N+1's transfer (the
+    dominant cost when the link is slow — ~430 ms/batch over this rig's
+    tunnel) overlaps batch N's train step; the consumer receives
+    already-in-flight device arrays.
     """
 
     def __init__(self, path: str, cfg: StabNetConfig, seed: int = 0,
@@ -89,34 +100,39 @@ class InputPipeline:
                 batch["flow"] = flow_ops.flow_to_sampling(u)
             return batch
 
-        self._aug = jax.jit(aug)
-        self._compute_flow = compute_flow
-        self._key = jax.random.PRNGKey(seed)
-        self._raw = prefetch(
-            batch_iterator(path, cfg, batch_size=batch_size, shuffle=shuffle,
-                           seed=seed),
-            depth=prefetch_depth,
-        )
+        aug_jit = jax.jit(aug)
+
+        def device_batches():
+            key = jax.random.PRNGKey(seed)
+            for raw in batch_iterator(path, cfg, batch_size=batch_size,
+                                      shuffle=shuffle, seed=seed):
+                raw = ensure_flow(raw, cfg, compute_flow)
+                key, sub = jax.random.split(key)
+                yield aug_jit(sub, augment.prepare_raw(raw))
+
+        self._it = prefetch(device_batches(), depth=prefetch_depth)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        raw = next(self._raw)
-        if "flow" not in raw:
-            if not self._compute_flow:
-                raise ValueError(
-                    "record shards have no `flow` field; train with "
-                    "--compute-flow (on-device TV-L1) or bake flow into the "
-                    "shards"
-                )
-            # Identity placeholder so the augmentation graph is uniform; the
-            # computed flow overwrites it after augmentation.
-            B = raw["stable"].shape[0]
-            H, W = self.cfg.height, self.cfg.width
-            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-            ident = np.stack([2.0 * xs / W - 1.0, 2.0 * ys / H - 1.0], axis=-1)
-            raw["flow"] = np.broadcast_to(ident, (B, H, W, 2)).copy()
-        self._key, sub = jax.random.split(self._key)
-        raw = augment.prepare_raw(raw)
-        return self._aug(sub, raw)
+        return next(self._it)
+
+
+def ensure_flow(raw, cfg: StabNetConfig, compute_flow: bool):
+    """Validate/patch the raw batch's flow field ahead of augmentation."""
+    if "flow" in raw:
+        return raw
+    if not compute_flow:
+        raise ValueError(
+            "record shards have no `flow` field; train with --compute-flow "
+            "(on-device TV-L1) or bake flow into the shards"
+        )
+    # Identity placeholder so the augmentation graph is uniform; the
+    # computed flow overwrites it after augmentation.
+    B = raw["stable"].shape[0]
+    H, W = cfg.height, cfg.width
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    ident = np.stack([2.0 * xs / W - 1.0, 2.0 * ys / H - 1.0], axis=-1)
+    raw["flow"] = np.broadcast_to(ident, (B, H, W, 2)).copy()
+    return raw

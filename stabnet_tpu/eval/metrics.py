@@ -156,8 +156,14 @@ def cropping_score(Hs: jax.Array) -> jax.Array:
     return jnp.mean(jnp.minimum(1.0 / jnp.maximum(scale, 1e-6), 1.0))
 
 
+# Evaluation is offline: run the flow solver at full quality (the training
+# pipeline's reduced finest-level iteration budget trades accuracy for step
+# time; here the small path noise it adds would bleed into the scores).
+_FLOW_KW = (("fine_iters", 100),)
+
+
 @functools.partial(jax.jit, static_argnames=("flow_kwargs",))
-def _interframe_h(frames: jax.Array, flow_kwargs=()) -> jax.Array:
+def _interframe_h(frames: jax.Array, flow_kwargs=_FLOW_KW) -> jax.Array:
     """(T, H, W) gray frames -> (T-1, 3, 3) inter-frame homographies."""
     u = tvl1_flow(frames[:-1], frames[1:], **dict(flow_kwargs))
     src, dst = _grid_correspondences(u)
@@ -165,7 +171,7 @@ def _interframe_h(frames: jax.Array, flow_kwargs=()) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("flow_kwargs",))
-def _crossvideo_h(a: jax.Array, b: jax.Array, flow_kwargs=()) -> jax.Array:
+def _crossvideo_h(a: jax.Array, b: jax.Array, flow_kwargs=_FLOW_KW) -> jax.Array:
     """Per-frame homographies mapping video `a` frames to video `b` frames."""
     u = tvl1_flow(a, b, **dict(flow_kwargs))
     src, dst = _grid_correspondences(u)

@@ -122,33 +122,29 @@ class MultiHostPipeline:
                 batch["flow"] = flow_ops.flow_to_sampling(u)
             return batch
 
-        self._aug = jax.jit(aug, in_shardings=(None, sharding),
-                            out_shardings=sharding)
-        self._key = jax.random.PRNGKey(seed)
-        self._raw: Iterator[Dict[str, np.ndarray]] = prefetch(
-            batch_iterator(path, cfg, batch_size=self._local_bs,
-                           shuffle=shuffle, seed=seed, shard=shard),
-            depth=prefetch_depth,
-        )
+        aug_jit = jax.jit(aug, in_shardings=(None, sharding),
+                          out_shardings=sharding)
+
+        def device_batches():
+            # Upload + augmentation dispatch inside the worker thread: batch
+            # N+1's host->device transfer overlaps batch N's train step
+            # (same structure as data.pipeline.InputPipeline).
+            from stabnet_tpu.data.pipeline import ensure_flow
+
+            key = jax.random.PRNGKey(seed)
+            for local in batch_iterator(path, cfg, batch_size=self._local_bs,
+                                        shuffle=shuffle, seed=seed,
+                                        shard=shard):
+                local = ensure_flow(local, cfg, compute_flow)
+                local = augment.prepare_raw(local)
+                batch = form_global_batch(local, mesh, cfg.mesh_data_axis)
+                key, sub = jax.random.split(key)
+                yield aug_jit(sub, batch)
+
+        self._it: Iterator = prefetch(device_batches(), depth=prefetch_depth)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        local = next(self._raw)
-        if "flow" not in local:
-            if not self._compute_flow:
-                raise ValueError(
-                    "record shards have no `flow` field; train with "
-                    "--compute-flow (on-device TV-L1) or bake flow into the "
-                    "shards"
-                )
-            B = local["stable"].shape[0]
-            H, W = self.cfg.height, self.cfg.width
-            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-            ident = np.stack([2.0 * xs / W - 1.0, 2.0 * ys / H - 1.0], axis=-1)
-            local["flow"] = np.broadcast_to(ident, (B, H, W, 2)).copy()
-        local = augment.prepare_raw(local)
-        batch = form_global_batch(local, self.mesh, self.cfg.mesh_data_axis)
-        self._key, sub = jax.random.split(self._key)
-        return self._aug(sub, batch)
+        return next(self._it)
