@@ -254,6 +254,54 @@ def cmd_inspect_data(args):
     print(f"wrote inspection dumps -> {args.out}")
 
 
+def cmd_export(args):
+    """Serialize the streaming step as a serving artifact (jax.export)."""
+    import sys
+
+    import jax
+    import numpy as np
+
+    from stabnet_tpu.config import get_config
+    from stabnet_tpu.models import init_variables, make_model
+    from stabnet_tpu.stream.export import (export_stream_step,
+                                           initial_state, load_stream_step)
+
+    cfg = get_config(args.config)
+    model = make_model(cfg)
+    if args.tf_checkpoint:
+        from stabnet_tpu.compat import convert_stabnet_checkpoint
+
+        variables = convert_stabnet_checkpoint(args.tf_checkpoint)
+    elif args.model_dir:
+        from stabnet_tpu.train import checkpoint as ckpt
+        from stabnet_tpu.train.state import create_train_state
+
+        state = ckpt.restore(
+            args.model_dir, create_train_state(model, cfg, jax.random.PRNGKey(0)))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        print("warning: no checkpoint given; exporting random weights",
+              file=sys.stderr)
+        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+    out_hw = tuple(args.output_size)
+    data = export_stream_step(model, variables, cfg, out_hw,
+                              streams=args.streams, refine=args.refine)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"exported {len(data) / 1e6:.1f} MB -> {args.out}")
+
+    if args.selftest:
+        step = load_stream_step(data)
+        S, (Ho, Wo) = args.streams, out_hw
+        gray = np.zeros((S, cfg.height, cfg.width), np.float32)
+        color = np.zeros((S, Ho, Wo, 3), np.uint8)
+        state0 = initial_state(gray, cfg)
+        _, out = step(state0, gray, color)
+        assert out.warped_color.shape == (S, Ho, Wo, 3)
+        print("selftest: deserialized artifact ran one step OK")
+
+
 def cmd_make_dataset(args):
     """Raw stable/unstable video pairs -> training shards.
 
@@ -317,6 +365,20 @@ def main(argv=None):
     p = sub.add_parser("stabilize", help="streaming deploy (deploy_bundle equivalent)")
     _add_stabilize_args(p)
     p.set_defaults(fn=cmd_stabilize)
+
+    p = sub.add_parser("export",
+                       help="serialize the streaming step (weights baked) "
+                            "as a jax.export serving artifact")
+    p.add_argument("--out", required=True)
+    p.add_argument("--config", default="v2_93")
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--tf-checkpoint", default=None)
+    p.add_argument("--streams", type=int, default=1)
+    p.add_argument("--refine", type=int, default=1)
+    p.add_argument("--output-size", type=int, nargs=2, default=[720, 1280])
+    p.add_argument("--selftest", action="store_true",
+                   help="deserialize and run one step on zeros")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("make-dataset",
                        help="raw stable/unstable video pairs -> training "
