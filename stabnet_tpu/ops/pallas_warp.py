@@ -42,6 +42,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -204,18 +205,6 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     assert TILE_N % 128 == 0, (tile_h, tile_w)
     Ho, Wo = x_ndc.shape[1], x_ndc.shape[2]
     x_ndc0, y_ndc0 = x_ndc, y_ndc          # unpadded, for the guard fallback
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-
-    # Pad the input so DMA windows can be tiling-aligned; sample indices are
-    # clamped to the ORIGINAL extent, so the padding is never read as data.
-    Hp_im = _ceil_mult(H, 8)
-    Wp_im = _ceil_mult(W, 128)
-    if (Hp_im, Wp_im) != (H, W):
-        imc = jnp.pad(imc, ((0, 0), (0, 0), (0, Hp_im - H), (0, Wp_im - W)))
-
-    YB = min(_ceil_mult(y_band, 8), Hp_im)
-    XW = min(_ceil_mult(x_band, 8), Wp_im)
 
     # Pad output to tile multiples and flatten each tile to a lane vector.
     # Padding must REPLICATE the border coordinates (mode="edge"): zero-padded
@@ -236,6 +225,53 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
 
     x_pix = tile_flatten((x_ndc.astype(jnp.float32) + 1.0) * (W / 2.0))
     y_pix = tile_flatten((y_ndc.astype(jnp.float32) + 1.0) * (H / 2.0))
+
+    def fallback():
+        # Window-free (and slow) pure-XLA sampler; only taken when some
+        # tile's sample spread exceeds even the widest-tier window.
+        from stabnet_tpu.ops import warp as xla_warp
+
+        im_cl = jnp.moveaxis(imc[:, :, :H, :W], 1, -1).astype(jnp.float32)
+        out = xla_warp.bilinear_sample(im_cl, x_ndc0, y_ndc0)
+        if out_uint8:
+            return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+        return out.astype(jnp.float32)
+
+    return _sample_core_tiled(imc, x_pix, y_pix, (Ho, Wo), y_band, x_band,
+                              interpret, tile_h, exact, out_uint8, tile_w,
+                              guard, strict_edge, fallback)
+
+
+def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
+                       out_hw: Tuple[int, int], y_band: int, x_band: int,
+                       interpret: Optional[bool], tile_h: int, exact: bool,
+                       out_uint8: bool, tile_w: int, guard: bool,
+                       strict_edge: bool, fallback) -> jax.Array:
+    """Kernel launch + guard tiers on PRE-TILED pixel maps.
+
+    x_pix, y_pix: (B, nth, ntw, 1, tile_h * tile_w) pixel-space sample
+    coordinates, one flattened lane vector per output tile (the layout
+    `_warp_kernel` consumes).  `fallback` is a thunk producing the output via
+    the window-free XLA sampler (taken only when every tier's window
+    overflows)."""
+    B, C, H, W = imc.shape
+    TILE_H, TILE_Wl = tile_h, tile_w
+    TILE_N = TILE_H * TILE_Wl
+    Ho, Wo = out_hw
+    nth, ntw = x_pix.shape[1], x_pix.shape[2]
+    Hp, Wp = nth * TILE_H, ntw * TILE_Wl
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    # Pad the input so DMA windows can be tiling-aligned; sample indices are
+    # clamped to the ORIGINAL extent, so the padding is never read as data.
+    Hp_im = _ceil_mult(H, 8)
+    Wp_im = _ceil_mult(W, 128)
+    if (Hp_im, Wp_im) != (H, W):
+        imc = jnp.pad(imc, ((0, 0), (0, 0), (0, Hp_im - H), (0, Wp_im - W)))
+
+    YB = min(_ceil_mult(y_band, 8), Hp_im)
+    XW = min(_ceil_mult(x_band, 8), Wp_im)
 
     grid = (B, nth, ntw)
     out_dtype = jnp.uint8 if out_uint8 else jnp.float32
@@ -290,17 +326,6 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     if not guard:
         return make_run(YB, XW)()
 
-    def run_fallback():
-        # Window-free (and slow) pure-XLA sampler; only taken when some
-        # tile's sample spread exceeds even the widest-tier window.
-        from stabnet_tpu.ops import warp as xla_warp
-
-        im_cl = jnp.moveaxis(imc[:, :, :H, :W], 1, -1).astype(jnp.float32)
-        out = xla_warp.bilinear_sample(im_cl, x_ndc0, y_ndc0)
-        if out_uint8:
-            return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
-        return out.astype(jnp.float32)
-
     # Window tiers.  Tier 1 is sized for converged-model meshes (local warp
     # stretch ~= 1); tier 2 covers strong meshes at ~1.5-2x the cost; tier 3
     # covers near-pathological stretches (the vertex clamp is
@@ -317,7 +342,7 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
 
     def chain(remaining):
         if not remaining:
-            return run_fallback
+            return fallback
         (yb, xw) = remaining[0]
         ok = _windows_ok(x_pix, y_pix, H, W, yb, xw, Hp_im)
         return lambda: jax.lax.cond(ok, make_run(yb, xw), chain(remaining[1:]))
@@ -386,6 +411,100 @@ def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
                         tile_h, exact, out_uint8=True, tile_w=tile_w,
                         guard=guard)
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_resize_mat(n_in: int, n_out: int, tile: int) -> np.ndarray:
+    """(ceil(n_out/tile)*tile, n_in) bilinear resize rows, edge-replicated.
+
+    Rows beyond n_out repeat row n_out-1 — identical to up-sampling to n_out
+    and then padding the result with mode="edge" (the tile-padding semantics
+    `_sample_core` uses), but baked into the static matrix so the padded map
+    never materializes.
+    """
+    from stabnet_tpu.ops.resize import resize_matrix
+
+    n_pad = _ceil_mult(n_out, tile)
+    M = resize_matrix(n_in, n_out)
+    if n_pad > n_out:
+        M = np.concatenate([M, np.repeat(M[-1:], n_pad - n_out, axis=0)])
+    return M
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "y_band", "x_band", "interpret", "tile_h",
+                     "tile_w", "exact", "guard"),
+)
+def warp_uint8_cf_lowres(imc: jax.Array, x_ndc_lr: jax.Array,
+                         y_ndc_lr: jax.Array, out_hw: Tuple[int, int],
+                         y_band: int = 48, x_band: int = 96,
+                         interpret: Optional[bool] = None,
+                         tile_h: int = 32, tile_w: int = 64,
+                         exact: bool = False, guard: bool = True) -> jax.Array:
+    """`warp_uint8_cf` fused with the map up-sample (the production path).
+
+    The streaming color warp's full-resolution sample maps are a bilinear
+    UP-SAMPLE of the low-passed model-scale maps (deploy_bundle.py:136-146
+    smooths then scales).  Materializing them costs two (B, Ho, Wo) f32
+    intermediates plus the tile-flatten transpose — pure HBM traffic.  Here
+    the up-sample lands DIRECTLY in the kernel's tiled lane-vector layout:
+    the resize matrices are reshaped per-tile so two einsums emit
+    (B, nth, ntw, 1, N) pixel coordinates, and no full-resolution map or
+    transpose pass ever exists.
+
+    Args:
+      imc: (B, C, H, W) uint8 channels-first full-res frames.
+      x_ndc_lr, y_ndc_lr: (B, h, w) LOW-RES NDC maps (e.g. model scale / 4).
+      out_hw: output size (Ho, Wo).
+
+    Returns (B, Ho, Wo, C) uint8; equal to up-sampling the maps with
+    `resize_bilinear_bhw` and calling `warp_uint8_cf` (rounding aside).
+    """
+    assert imc.dtype == jnp.uint8
+    B, C, H, W = imc.shape
+    Ho, Wo = out_hw
+    w_lr = x_ndc_lr.shape[2]
+    TILE_N = tile_h * tile_w
+    assert TILE_N % 128 == 0, (tile_h, tile_w)
+
+    # NDC -> pixel BEFORE the up-sample: resize rows are convex (sum to 1),
+    # so the affine rescale commutes, and the low-res map is the cheap place
+    # to pay it.
+    xs = (x_ndc_lr.astype(jnp.float32) + 1.0) * (W / 2.0)
+    ys = (y_ndc_lr.astype(jnp.float32) + 1.0) * (H / 2.0)
+
+    Hp = _ceil_mult(Ho, tile_h)
+    Wp = _ceil_mult(Wo, tile_w)
+    nth, ntw = Hp // tile_h, Wp // tile_w
+    Rr = jnp.asarray(_tiled_resize_mat(x_ndc_lr.shape[1], Ho, tile_h))
+    Rc = jnp.asarray(
+        _tiled_resize_mat(w_lr, Wo, tile_w).reshape(ntw, tile_w, w_lr))
+
+    def tiled_maps(m):                  # (B, h, w) -> (B, nth, ntw, 1, N)
+        t = jnp.einsum("Oa,Baw->BOw", Rr, m,
+                       precision=jax.lax.Precision.HIGHEST)
+        t = t.reshape(B, nth, tile_h, w_lr)
+        t = jnp.einsum("jJw,BiIw->BijIJ", Rc, t,
+                       precision=jax.lax.Precision.HIGHEST)
+        return t.reshape(B, nth, ntw, 1, TILE_N)
+
+    x_pix = tiled_maps(xs)
+    y_pix = tiled_maps(ys)
+
+    def fallback():
+        from stabnet_tpu.ops import warp as xla_warp
+        from stabnet_tpu.ops.resize import resize_bilinear_bhw
+
+        xf = resize_bilinear_bhw(x_ndc_lr.astype(jnp.float32), (Ho, Wo))
+        yf = resize_bilinear_bhw(y_ndc_lr.astype(jnp.float32), (Ho, Wo))
+        im_cl = jnp.moveaxis(imc, 1, -1).astype(jnp.float32)
+        out = xla_warp.bilinear_sample(im_cl, xf, yf)
+        return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+    return _sample_core_tiled(imc, x_pix, y_pix, (Ho, Wo), y_band, x_band,
+                              interpret, tile_h, exact, True, tile_w, guard,
+                              True, fallback)
 
 
 # --- adjoint (splat) kernel: d out / d image at fixed maps --------------------

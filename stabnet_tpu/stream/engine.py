@@ -161,15 +161,17 @@ def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
     rate = smooth_rate
     xs = resize_bilinear(x_map, (H // rate, W // rate))
     ys = resize_bilinear(y_map, (H // rate, W // rate))
-    xs = resize_bilinear(xs, (Ho, Wo))
-    ys = resize_bilinear(ys, (Ho, Wo))
     if use_pallas:
-        from stabnet_tpu.ops.pallas_warp import warp_uint8_cf
+        from stabnet_tpu.ops.pallas_warp import warp_uint8_cf_lowres
 
         imc = color if channels_first else jnp.moveaxis(color, -1, 1)
         # uint8 window DMA + on-chip cast + uint8 epilogue; bf16 MXU passes
-        # (error << 1 uint8 LSB after rounding).
-        return warp_uint8_cf(imc, xs, ys)
+        # (error << 1 uint8 LSB after rounding).  The up-sample of the maps
+        # to (Ho, Wo) is fused into the kernel's tiled layout — the
+        # full-resolution map intermediates never exist.
+        return warp_uint8_cf_lowres(imc, xs, ys, (Ho, Wo))
+    xs = resize_bilinear(xs, (Ho, Wo))
+    ys = resize_bilinear(ys, (Ho, Wo))
     img = (jnp.moveaxis(color, 1, -1) if channels_first else color)
     warped = bilinear_sample(img.astype(jnp.float32), xs, ys)
     return jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)

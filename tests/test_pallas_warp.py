@@ -136,6 +136,72 @@ def test_uint8_path_non_aligned_and_guarded():
     np.testing.assert_array_equal(got, ref_u8)
 
 
+def test_lowres_fused_upsample_matches_two_stage():
+    """warp_uint8_cf_lowres (map up-sample fused into the tiled layout) ==
+    resize_bilinear to full res + warp_uint8_cf, at a NON-tile-aligned
+    output size.  Rounding: NDC->pixel scaling happens before vs after the
+    resize matmuls, so allow one uint8 LSB."""
+    from stabnet_tpu.ops.pallas_warp import warp_uint8_cf, warp_uint8_cf_lowres
+    from stabnet_tpu.ops.resize import resize_bilinear_bhw
+
+    rng = np.random.RandomState(5)
+    B, H, W = 2, 120, 192
+    Ho, Wo = 110, 180                     # 110 % 32 != 0, 180 % 64 != 0
+    h, w = 24, 48
+    im = rng.randint(0, 256, (B, H, W, 3), dtype=np.uint8)
+    gx = np.linspace(-1, 1, w, dtype=np.float32)
+    gy = np.linspace(-1, 1, h, dtype=np.float32)
+    xg, yg = np.meshgrid(gx, gy)
+    xm_lr = np.stack([xg * 0.93 - 0.02 + 0.03 * np.sin(yg * 2 + b)
+                      for b in range(B)]).astype(np.float32)
+    ym_lr = np.stack([yg * 0.9 + 0.01 + 0.02 * np.cos(xg * 3 + b)
+                      for b in range(B)]).astype(np.float32)
+
+    imc = jnp.asarray(np.moveaxis(im, -1, 1))
+    xm_f = resize_bilinear_bhw(jnp.asarray(xm_lr), (Ho, Wo))
+    ym_f = resize_bilinear_bhw(jnp.asarray(ym_lr), (Ho, Wo))
+    ref = np.asarray(warp_uint8_cf(imc, xm_f, ym_f, y_band=32, x_band=128,
+                                   interpret=True, exact=True))
+    got = np.asarray(
+        warp_uint8_cf_lowres(imc, jnp.asarray(xm_lr), jnp.asarray(ym_lr),
+                             (Ho, Wo), y_band=32, x_band=128, interpret=True,
+                             exact=True))
+    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+    # and the overwhelming majority of pixels agree exactly
+    assert (got == ref).mean() > 0.999
+
+
+def test_lowres_fused_guard_falls_back():
+    """Pathological low-res maps (per-tile spread >> window) must still take
+    the guarded XLA fallback, matching the two-stage reference result."""
+    from stabnet_tpu.ops.pallas_warp import warp_uint8_cf_lowres
+    from stabnet_tpu.ops.resize import resize_bilinear_bhw
+    from stabnet_tpu.ops.warp import bilinear_sample
+
+    rng = np.random.RandomState(6)
+    B, H, W = 1, 64, 256
+    Ho, Wo = 64, 256
+    h, w = 16, 64
+    im = rng.randint(0, 256, (B, H, W, 3), dtype=np.uint8)
+    # Mirror-flip map: x spans the whole image within each tile row.
+    gx = np.linspace(1, -1, w, dtype=np.float32)
+    gy = np.linspace(-1, 1, h, dtype=np.float32)
+    xg, yg = np.meshgrid(gx, gy)
+    xm_lr = (xg * 0.95)[None].astype(np.float32)
+    ym_lr = (yg * 0.95)[None].astype(np.float32)
+
+    xm_f = resize_bilinear_bhw(jnp.asarray(xm_lr), (Ho, Wo))
+    ym_f = resize_bilinear_bhw(jnp.asarray(ym_lr), (Ho, Wo))
+    ref = np.asarray(bilinear_sample(jnp.asarray(im, jnp.float32), xm_f, ym_f))
+    ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    imc = jnp.asarray(np.moveaxis(im, -1, 1))
+    got = np.asarray(
+        warp_uint8_cf_lowres(imc, jnp.asarray(xm_lr), jnp.asarray(ym_lr),
+                             (Ho, Wo), y_band=8, x_band=16, interpret=True,
+                             exact=True))
+    assert np.abs(got.astype(np.int32) - ref_u8.astype(np.int32)).max() <= 1
+
+
 def test_const_image_vjp_matches_xla_grads():
     """Map gradients of the custom-VJP sampler == XLA autodiff gradients."""
     import jax
