@@ -100,6 +100,13 @@ def main():
         dict(tile_h=32, tile_w=128, y_band=48, x_band=168),
         dict(tile_h=16, tile_w=128, y_band=32, x_band=168),
         dict(tile_h=16, tile_w=64, y_band=32, x_band=96),
+        # Narrow tiles: per-pixel MXU work scales with the weight span
+        # (C*YB*XW per output pixel), so a 32-px tile halves the contraction
+        # at the cost of 2x the grid programs / DMA overlap.
+        dict(tile_h=32, tile_w=32, y_band=48, x_band=56),
+        dict(tile_h=16, tile_w=32, y_band=32, x_band=56),
+        dict(tile_h=64, tile_w=32, y_band=88, x_band=56),
+        dict(tile_h=8, tile_w=64, y_band=16, x_band=96),
     ] * 2
     if part not in ("720", "all"):
         cands = []

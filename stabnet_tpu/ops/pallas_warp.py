@@ -477,7 +477,16 @@ def warp_uint8_cf_lowres(imc: jax.Array, x_ndc_lr: jax.Array,
     Hp = _ceil_mult(Ho, tile_h)
     Wp = _ceil_mult(Wo, tile_w)
     nth, ntw = Hp // tile_h, Wp // tile_w
-    Rr = jnp.asarray(_tiled_resize_mat(x_ndc_lr.shape[1], Ho, tile_h))
+    h_lr = x_ndc_lr.shape[1]
+
+    # The static resize matrices are reshaped per output tile so two einsums
+    # emit the tiled layout directly (no full-res intermediate or separate
+    # transpose pass).  Negative result (measured on v5e, do not re-try): a
+    # 2-tap elementwise polyphase up-sample + transpose loses to these
+    # einsums (7.50 vs 6.79 ms at S=8/720p) — the per-phase select creates
+    # r-lane intermediates that Mosaic/XLA lay out poorly, while the MXU
+    # eats the dense contraction below its own roofline.
+    Rr = jnp.asarray(_tiled_resize_mat(h_lr, Ho, tile_h))
     Rc = jnp.asarray(
         _tiled_resize_mat(w_lr, Wo, tile_w).reshape(ntw, tile_w, w_lr))
 

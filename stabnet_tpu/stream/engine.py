@@ -133,7 +133,11 @@ def _net_forward(model, variables, x: jax.Array, cfg: StabNetConfig,
     Hs = mesh_to_homographies(mesh, cfg.grid_h, cfg.grid_w)
     x_map, y_map = dense_maps(Hs, cfg.height, cfg.width)
     black = black_mask(x_map, y_map)
-    output = _sample(cur, x_map, y_map, use_pallas=True)
+    # bf16 MXU passes: the gray output only feeds the history ring and the
+    # vis mosaic, where the ~4e-3 weight-quantization error sits at the same
+    # level as the uint8 frame quantization (1/255).  The production output
+    # frame is the full-res color warp, which rounds to uint8 anyway.
+    output = _sample(cur, x_map, y_map, use_pallas=True, exact=False)
     return WarpResult(output=output, black_pix=black, x_map=x_map,
                       y_map=y_map, Hs=Hs)
 

@@ -136,7 +136,11 @@ def test_uint8_path_non_aligned_and_guarded():
     np.testing.assert_array_equal(got, ref_u8)
 
 
-def test_lowres_fused_upsample_matches_two_stage():
+@pytest.mark.parametrize("out_hw", [
+    (110, 180),      # non-integer ratio -> tiled-einsum branch
+    (120, 192),      # exact 5x/4x up -> polyphase elementwise branch
+])
+def test_lowres_fused_upsample_matches_two_stage(out_hw):
     """warp_uint8_cf_lowres (map up-sample fused into the tiled layout) ==
     resize_bilinear to full res + warp_uint8_cf, at a NON-tile-aligned
     output size.  Rounding: NDC->pixel scaling happens before vs after the
@@ -146,7 +150,7 @@ def test_lowres_fused_upsample_matches_two_stage():
 
     rng = np.random.RandomState(5)
     B, H, W = 2, 120, 192
-    Ho, Wo = 110, 180                     # 110 % 32 != 0, 180 % 64 != 0
+    Ho, Wo = out_hw
     h, w = 24, 48
     im = rng.randint(0, 256, (B, H, W, 3), dtype=np.uint8)
     gx = np.linspace(-1, 1, w, dtype=np.float32)
