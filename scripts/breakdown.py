@@ -79,6 +79,19 @@ def s_net(c, xs):
 timeit("net forward (13ch 288p)", lambda c, xs: (s_net(c, xs)[0], None), x13)
 
 
+from stabnet_tpu.models.resnet import SlimConv
+
+stem = SlimConv(64, 7, 2, use_bias=True, name="conv1")
+stem_vars = stem.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 13),
+                                                       jnp.bfloat16))
+
+
+def s_stem(c, xs):
+    out = stem.apply(stem_vars, xs.astype(jnp.bfloat16))
+    return c + jnp.sum(out.astype(jnp.float32)[:, ::37, ::53]), None
+
+timeit("stem conv1 7x7/2 13ch alone", s_stem, x13)
+
 var_bf16 = jax.tree_util.tree_map(
     lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
     variables)

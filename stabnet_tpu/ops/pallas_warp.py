@@ -53,10 +53,14 @@ def _ceil_mult(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
-                 H: int, W: int, YB: int, XW: int, XB: int, C: int,
-                 exact: bool, out_uint8: bool, strict_edge: bool):
-    """One (tile_h, tile_w) output tile, all channels.  Maps arrive as (1, N).
+def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
+                      H: int, W: int, YB: int, XW: int, XB: int, C: int,
+                      ntw: int, exact: bool, out_uint8: bool,
+                      strict_edge: bool):
+    """One ROW of output tiles per grid step, double-buffered window DMAs.
+
+    Maps/outputs arrive as (1, 1, ntw, ., N) blocks — one flattened lane
+    vector per (tile_h, tile_w) tile.  The per-tile structure:
 
     x handling: the DMA base must be 128-aligned (Mosaic lane-dim slicing
     constraint), which would waste up to 127 columns of weight span.  Instead
@@ -64,96 +68,122 @@ def _warp_kernel(x_ref, y_ref, im_hbm, out_ref, win, sem, *,
     it so column 0 lands exactly on the tile's minimum sample — the hat
     weight matrix then only spans XW columns (the true per-tile spread),
     which is what the O(XW * N) weight build and the MXU contraction pay for.
+
+    Grid/DMA structure: a per-tile grid pays the window-DMA issue+complete
+    latency serially on every step (measured ~1.1 ms of the 6.4 ms 720p
+    call).  Here the grid is (B, nth) and the ntw column tiles run in a
+    statically unrolled loop with TWO window buffers: tile j+1's DMA is
+    issued before tile j is processed, so the copy engine runs a tile ahead
+    of the VPU/MXU and the latency is hidden.
     """
-    x = x_ref[0, 0, 0]                            # (1, N) pixel-space x
-    y = y_ref[0, 0, 0]
-    N = x.shape[-1]                               # tile_h * tile_w
-
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0c = jnp.clip(x0, 0, W - 1)
-    y0c = jnp.clip(y0, 0, H - 1)
-
+    b = pl.program_id(0)
     Hp_im = _ceil_mult(H, 8)
     Wp_im = _ceil_mult(W, 128)
-    xmin = jnp.min(x0c)
-    ybase = jnp.maximum(jnp.minimum(jnp.min(y0c) & ~7, Hp_im - YB), 0)
-    xbase = jnp.maximum(jnp.minimum(xmin & ~127, Wp_im - XB), 0)
-    ybase = pl.multiple_of(ybase, 8)
-    xbase = pl.multiple_of(xbase, 128)
-    xroll = xmin - xbase                          # in [0, XB-1]
 
-    b = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        im_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)],
-        win,
-        sem,
-    )
-    copy.start()
+    def bounds(j):
+        x = x_ref[0, 0, j]                        # (1, N) pixel-space x
+        y = y_ref[0, 0, j]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0c = jnp.clip(x0, 0, W - 1)
+        y0c = jnp.clip(y0, 0, H - 1)
+        xmin = jnp.min(x0c)
+        ybase = jnp.maximum(jnp.minimum(jnp.min(y0c) & ~7, Hp_im - YB), 0)
+        xbase = jnp.maximum(jnp.minimum(xmin & ~127, Wp_im - XB), 0)
+        ybase = pl.multiple_of(ybase, 8)
+        xbase = pl.multiple_of(xbase, 128)
+        return x, y, xmin, ybase, xbase
 
-    # Validity: for coords >= size-1 or < 0 the reference's clamped-corner
-    # taps cancel to exactly zero (x0c == x1c makes both weights vanish at
-    # x == W-1 too — hence the STRICT upper bound; see test_pallas_warp).
-    # strict_edge=False keeps the edge pixel at exactly-integer edge coords;
-    # the custom-VJP backward uses it to fetch corner taps.  Validity is
-    # FOLDED INTO the relative coordinate (invalid -> far outside the hat
-    # support) instead of multiplying the weight matrices: one (1, N) select
-    # replaces an (XB, N) multiply.
-    if strict_edge:
-        vx = (x >= 0.0) & (x < W - 1)
-        vy = (y >= 0.0) & (y < H - 1)
-    else:
-        vx = (x >= 0.0) & (x <= W - 1)
-        vy = (y >= 0.0) & (y <= H - 1)
+    copies = [None, None]
 
-    xrel = jnp.where(vx, x - xmin.astype(jnp.float32), -4.0)   # (1, N)
-    yrel = jnp.where(vy, y - ybase.astype(jnp.float32), -4.0)
+    def issue(j):
+        _, _, _, ybase, xbase = bounds(j)
+        slot = j % 2
+        c = pltpu.make_async_copy(
+            im_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)],
+            win2.at[slot],
+            sem2.at[slot],
+        )
+        c.start()
+        copies[slot] = c
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (XW, N), 0).astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (YB, N), 0).astype(jnp.float32)
+    issue(0)
+    for j in range(ntw):
+        if j + 1 < ntw:
+            issue(j + 1)
 
-    # Horizontal / vertical interpolation matrices.  In the non-exact (uint8
-    # output) path the weights are built in bf16: halves the VMEM footprint
-    # of the (XW, N) matrix — the weight quantization (~2^-8 relative) stays
-    # below one uint8 LSB after rounding.
-    wdt = jnp.float32 if exact else jnp.bfloat16
-    Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)).astype(wdt)  # (XW, N)
-    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows))              # (YB, N)
+        x, y, xmin, ybase, xbase = bounds(j)
+        xroll = xmin - xbase                      # in [0, XB-1]
+        N = x.shape[-1]
 
-    copy.wait()
+        # Validity: for coords >= size-1 or < 0 the reference's
+        # clamped-corner taps cancel to exactly zero (x0c == x1c makes both
+        # weights vanish at x == W-1 too — hence the STRICT upper bound; see
+        # test_pallas_warp).  strict_edge=False keeps the edge pixel at
+        # exactly-integer edge coords; the custom-VJP backward uses it to
+        # fetch corner taps.  Validity is FOLDED INTO the relative
+        # coordinate (invalid -> far outside the hat support) instead of
+        # multiplying the weight matrices: one (1, N) select replaces an
+        # (XB, N) multiply.
+        if strict_edge:
+            vx = (x >= 0.0) & (x < W - 1)
+            vy = (y >= 0.0) & (y < H - 1)
+        else:
+            vx = (x >= 0.0) & (x <= W - 1)
+            vy = (y >= 0.0) & (y <= H - 1)
 
-    # All channels share the weights, so stack them along the sublane dim and
-    # run ONE roll + ONE MXU contraction per tile: (C*YB, XB) @ (XW, N).
-    # Lane-roll so window column 0 == image column xmin, then keep the
-    # XW-wide span the weights address.  Columns past the tile's max
-    # sample carry zero weight, so the circular wrap is never read.
-    # Mosaic's dynamic rotate is 32-bit only, so uint8 windows are cast
-    # to i32 first (no direct u8->f32 cast exists anyway).  The shift must
-    # be NON-NEGATIVE: Mosaic lowers negative dynamic rotates incorrectly
-    # across lane registers (verified on v5e: roll(w, -s) is wrong for
-    # every s in [1, 127] on a 384-wide array; roll(w, W - s) is exact).
-    w = win[...].reshape(C * YB, XB)
-    if w.dtype != jnp.float32:
-        w = w.astype(jnp.int32)
-    w = pltpu.roll(w, XB - xroll, axis=1)[:, :XW]
-    w = w.astype(jnp.float32)
-    if not exact:
-        w = w.astype(jnp.bfloat16)
-    G = jax.lax.dot_general(
-        w, Wh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGHEST if exact
-                   else jax.lax.Precision.DEFAULT),
-    )                                             # (C*YB, TILE_N)
-    outs = [jnp.sum(G[c * YB:(c + 1) * YB] * Wv, axis=0, keepdims=True)
-            for c in range(C)]
-    vals = jnp.concatenate(outs, axis=0)          # (C, TILE_N)
-    if out_uint8:
-        # Mosaic has no direct f32->u8 cast; round+clip then go through int32.
-        vals = jnp.clip(jnp.round(vals), 0.0, 255.0)
-        vals = vals.astype(jnp.int32).astype(jnp.uint8)
-    out_ref[:] = vals.reshape(1, 1, 1, C, -1)
+        xrel = jnp.where(vx, x - xmin.astype(jnp.float32), -4.0)   # (1, N)
+        yrel = jnp.where(vy, y - ybase.astype(jnp.float32), -4.0)
+
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (XW, N), 0).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (YB, N), 0).astype(jnp.float32)
+
+        # Horizontal / vertical interpolation matrices.  In the non-exact
+        # (uint8 output) path the weights are built in bf16: halves the VMEM
+        # footprint of the (XW, N) matrix — the weight quantization (~2^-8
+        # relative) stays below one uint8 LSB after rounding.
+        wdt = jnp.float32 if exact else jnp.bfloat16
+        Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)).astype(wdt)
+        Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows))          # (YB, N)
+
+        copies[j % 2].wait()
+
+        # All channels share the weights, so stack them along the sublane
+        # dim and run ONE roll + ONE MXU contraction per tile:
+        # (C*YB, XB) @ (XW, N).  Lane-roll so window column 0 == image
+        # column xmin, then keep the XW-wide span the weights address.
+        # Columns past the tile's max sample carry zero weight, so the
+        # circular wrap is never read.  Mosaic's dynamic rotate is 32-bit
+        # only, so uint8 windows are cast to i32 first (no direct u8->f32
+        # cast exists anyway).  The shift must be NON-NEGATIVE: Mosaic
+        # lowers negative dynamic rotates incorrectly across lane registers
+        # (verified on v5e: roll(w, -s) is wrong for every s in [1, 127] on
+        # a 384-wide array; roll(w, W - s) is exact).
+        w = win2[j % 2].reshape(C * YB, XB)
+        if w.dtype != jnp.float32:
+            w = w.astype(jnp.int32)
+        w = pltpu.roll(w, XB - xroll, axis=1)[:, :XW]
+        w = w.astype(jnp.float32)
+        if not exact:
+            w = w.astype(jnp.bfloat16)
+        G = jax.lax.dot_general(
+            w, Wh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST if exact
+                       else jax.lax.Precision.DEFAULT),
+        )                                         # (C*YB, TILE_N)
+        outs = [jnp.sum(G[c * YB:(c + 1) * YB] * Wv, axis=0, keepdims=True)
+                for c in range(C)]
+        vals = jnp.concatenate(outs, axis=0)      # (C, TILE_N)
+        if out_uint8:
+            # Mosaic has no direct f32->u8 cast; round+clip then go through
+            # int32.
+            vals = jnp.clip(jnp.round(vals), 0.0, 255.0)
+            vals = vals.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, 0, j] = vals
 
 
 def _windows_ok(x_pix: jax.Array, y_pix: jax.Array, H: int, W: int,
@@ -273,14 +303,14 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
     YB = min(_ceil_mult(y_band, 8), Hp_im)
     XW = min(_ceil_mult(x_band, 8), Wp_im)
 
-    grid = (B, nth, ntw)
+    grid = (B, nth)
     out_dtype = jnp.uint8 if out_uint8 else jnp.float32
 
     def make_run(yb, xw):
         # DMA window: weight span + up to 127 columns of base alignment.
         xb = min(_ceil_mult(xw + 128, 128), Wp_im)
-        kernel = functools.partial(_warp_kernel, H=H, W=W, YB=yb, XW=xw,
-                                   XB=xb, C=C, exact=exact,
+        kernel = functools.partial(_warp_band_kernel, H=H, W=W, YB=yb, XW=xw,
+                                   XB=xb, C=C, ntw=ntw, exact=exact,
                                    out_uint8=out_uint8,
                                    strict_edge=strict_edge)
 
@@ -289,22 +319,22 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
                 kernel,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((1, 1, 1, 1, TILE_N),
-                                 lambda b, i, j: (b, i, j, 0, 0),
+                    pl.BlockSpec((1, 1, ntw, 1, TILE_N),
+                                 lambda b, i: (b, i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, 1, 1, TILE_N),
-                                 lambda b, i, j: (b, i, j, 0, 0),
+                    pl.BlockSpec((1, 1, ntw, 1, TILE_N),
+                                 lambda b, i: (b, i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),     # full (B, C, H, W)
                 ],
-                out_specs=pl.BlockSpec((1, 1, 1, C, TILE_N),
-                                       lambda b, i, j: (b, i, j, 0, 0),
+                out_specs=pl.BlockSpec((1, 1, ntw, C, TILE_N),
+                                       lambda b, i: (b, i, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, nth, ntw, C, TILE_N),
                                                out_dtype),
                 scratch_shapes=[
-                    pltpu.VMEM((C, yb, xb), imc.dtype),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.VMEM((2, C, yb, xb), imc.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
                 ],
                 # Raising the scoped-vmem limit measurably hurts Mosaic's
                 # pipelining; only do it when the weights are genuinely large.
