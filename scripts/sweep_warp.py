@@ -97,16 +97,17 @@ def main():
     # x_band = per-tile weight SPAN (roll-aligned window)
     cands = [
         dict(tile_h=32, tile_w=64, y_band=48, x_band=96),
-        dict(tile_h=32, tile_w=128, y_band=48, x_band=168),
-        dict(tile_h=16, tile_w=128, y_band=32, x_band=168),
-        dict(tile_h=16, tile_w=64, y_band=32, x_band=96),
-        # Narrow tiles: per-pixel MXU work scales with the weight span
-        # (C*YB*XW per output pixel), so a 32-px tile halves the contraction
-        # at the cost of 2x the grid programs / DMA overlap.
-        dict(tile_h=32, tile_w=32, y_band=48, x_band=56),
-        dict(tile_h=16, tile_w=32, y_band=32, x_band=56),
-        dict(tile_h=64, tile_w=32, y_band=88, x_band=56),
-        dict(tile_h=8, tile_w=64, y_band=16, x_band=96),
+        # MXU M-dim utilization: the contraction is (C*YB, XW) @ (XW, N);
+        # C*YB = 144 at y_band=48 needs two 128-row MXU passes at 56% fill.
+        # tile_h=24 -> y_band=40 -> M=120: ONE pass at 94% fill, and the
+        # per-pixel work C*YB*XW drops 17%.
+        dict(tile_h=24, tile_w=64, y_band=40, x_band=96),
+        dict(tile_h=24, tile_w=64, y_band=40, x_band=80),
+        dict(tile_h=24, tile_w=64, y_band=40, x_band=72),
+        dict(tile_h=32, tile_w=64, y_band=48, x_band=80),
+        dict(tile_h=32, tile_w=64, y_band=48, x_band=72),
+        dict(tile_h=24, tile_w=128, y_band=40, x_band=168),
+        dict(tile_h=40, tile_w=64, y_band=56, x_band=96),
     ] * 2
     if part not in ("720", "all"):
         cands = []

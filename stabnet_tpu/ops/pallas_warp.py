@@ -54,8 +54,8 @@ def _ceil_mult(x: int, m: int) -> int:
 
 
 def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
-                      H: int, W: int, YB: int, XW: int, XB: int, C: int,
-                      ntw: int, exact: bool, out_uint8: bool,
+                      H: int, W: int, YW: int, YB: int, XW: int, XB: int,
+                      C: int, ntw: int, exact: bool, out_uint8: bool,
                       strict_edge: bool):
     """One ROW of output tiles per grid step, double-buffered window DMAs.
 
@@ -68,6 +68,14 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
     it so column 0 lands exactly on the tile's minimum sample — the hat
     weight matrix then only spans XW columns (the true per-tile spread),
     which is what the O(XW * N) weight build and the MXU contraction pay for.
+
+    y handling mirrors it on the sublane dim: the DMA base must be 8-aligned
+    (sublane-unaligned dynamic window bases do not compile — measured on
+    v5e), so the window carries YB = YW + 8 rows; a dynamic SUBLANE roll
+    shifts row 0 onto the tile's minimum sample row and a static slice keeps
+    the true YW-row spread.  The payoff is the MXU contraction's M dim:
+    C*YW = 120 at the production config is ONE 128-row MXU pass at 94% fill,
+    where C*YB = 144 needed two passes at 56%.
 
     Grid/DMA structure: a per-tile grid pays the window-DMA issue+complete
     latency serially on every step (measured ~1.1 ms of the 6.4 ms 720p
@@ -88,16 +96,17 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
         x0c = jnp.clip(x0, 0, W - 1)
         y0c = jnp.clip(y0, 0, H - 1)
         xmin = jnp.min(x0c)
-        ybase = jnp.maximum(jnp.minimum(jnp.min(y0c) & ~7, Hp_im - YB), 0)
+        ymin = jnp.min(y0c)
+        ybase = jnp.maximum(jnp.minimum(ymin & ~7, Hp_im - YB), 0)
         xbase = jnp.maximum(jnp.minimum(xmin & ~127, Wp_im - XB), 0)
         ybase = pl.multiple_of(ybase, 8)
         xbase = pl.multiple_of(xbase, 128)
-        return x, y, xmin, ybase, xbase
+        return x, y, xmin, ymin, ybase, xbase
 
     copies = [None, None]
 
     def issue(j):
-        _, _, _, ybase, xbase = bounds(j)
+        _, _, _, _, ybase, xbase = bounds(j)
         slot = j % 2
         c = pltpu.make_async_copy(
             im_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)],
@@ -112,8 +121,9 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
         if j + 1 < ntw:
             issue(j + 1)
 
-        x, y, xmin, ybase, xbase = bounds(j)
+        x, y, xmin, ymin, ybase, xbase = bounds(j)
         xroll = xmin - xbase                      # in [0, XB-1]
+        yroll = ymin - ybase                      # in [0, YB-1]
         N = x.shape[-1]
 
         # Validity: for coords >= size-1 or < 0 the reference's
@@ -133,12 +143,12 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
             vy = (y >= 0.0) & (y <= H - 1)
 
         xrel = jnp.where(vx, x - xmin.astype(jnp.float32), -4.0)   # (1, N)
-        yrel = jnp.where(vy, y - ybase.astype(jnp.float32), -4.0)
+        yrel = jnp.where(vy, y - ymin.astype(jnp.float32), -4.0)
 
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (XW, N), 0).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(
-            jnp.int32, (YB, N), 0).astype(jnp.float32)
+            jnp.int32, (YW, N), 0).astype(jnp.float32)
 
         # Horizontal / vertical interpolation matrices.  In the non-exact
         # (uint8 output) path the weights are built in bf16: halves the VMEM
@@ -146,24 +156,36 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
         # relative) stays below one uint8 LSB after rounding.
         wdt = jnp.float32 if exact else jnp.bfloat16
         Wh = jnp.maximum(0.0, 1.0 - jnp.abs(xrel - cols)).astype(wdt)
-        Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows))          # (YB, N)
+        Wv = jnp.maximum(0.0, 1.0 - jnp.abs(yrel - rows))          # (YW, N)
 
         copies[j % 2].wait()
 
         # All channels share the weights, so stack them along the sublane
-        # dim and run ONE roll + ONE MXU contraction per tile:
-        # (C*YB, XB) @ (XW, N).  Lane-roll so window column 0 == image
-        # column xmin, then keep the XW-wide span the weights address.
-        # Columns past the tile's max sample carry zero weight, so the
-        # circular wrap is never read.  Mosaic's dynamic rotate is 32-bit
-        # only, so uint8 windows are cast to i32 first (no direct u8->f32
-        # cast exists anyway).  The shift must be NON-NEGATIVE: Mosaic
-        # lowers negative dynamic rotates incorrectly across lane registers
-        # (verified on v5e: roll(w, -s) is wrong for every s in [1, 127] on
-        # a 384-wide array; roll(w, W - s) is exact).
+        # dim and run ONE MXU contraction per tile: (C*YW, XW) @ (XW, N).
+        # Two dynamic rolls compact the aligned DMA window onto the true
+        # per-tile spread first:
+        #   * SUBLANE roll by yroll so row 0 == image row ymin, then a
+        #     static YW-row slice per channel.  Rows wrapped across channel
+        #     boundaries by the flat roll land at k >= YB - yroll, where the
+        #     vertical hat weight is identically zero (needed rows satisfy
+        #     k <= YB-1-yroll by the window-coverage construction), so the
+        #     garbage never contributes.
+        #   * LANE roll so column 0 == image column xmin, then keep the
+        #     XW-wide span the weights address; columns past the tile's max
+        #     sample carry zero horizontal weight.
+        # Mosaic's dynamic rotate is 32-bit only, so uint8 windows are cast
+        # to i32 first (no direct u8->f32 cast exists anyway).  Shifts must
+        # be NON-NEGATIVE: Mosaic lowers negative dynamic LANE rotates
+        # incorrectly across lane registers (verified on v5e: roll(w, -s) is
+        # wrong for every s in [1, 127] on a 384-wide array; roll(w, M - s)
+        # is exact), so both rolls use the M - s form.
         w = win2[j % 2].reshape(C * YB, XB)
         if w.dtype != jnp.float32:
             w = w.astype(jnp.int32)
+        w = pltpu.roll(w, C * YB - yroll, axis=0)
+        if YW < YB:
+            w = jnp.concatenate(
+                [w[c * YB:c * YB + YW] for c in range(C)], axis=0)
         w = pltpu.roll(w, XB - xroll, axis=1)[:, :XW]
         w = w.astype(jnp.float32)
         if not exact:
@@ -174,8 +196,8 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.HIGHEST if exact
                        else jax.lax.Precision.DEFAULT),
-        )                                         # (C*YB, TILE_N)
-        outs = [jnp.sum(G[c * YB:(c + 1) * YB] * Wv, axis=0, keepdims=True)
+        )                                         # (C*YW, TILE_N)
+        outs = [jnp.sum(G[c * YW:(c + 1) * YW] * Wv, axis=0, keepdims=True)
                 for c in range(C)]
         vals = jnp.concatenate(outs, axis=0)      # (C, TILE_N)
         if out_uint8:
@@ -187,14 +209,14 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
 
 
 def _windows_ok(x_pix: jax.Array, y_pix: jax.Array, H: int, W: int,
-                YB: int, XW: int, Hp_im: int) -> jax.Array:
-    """True iff every tile's bilinear taps fit its weight span / DMA window.
+                y_span: int, x_span: int) -> jax.Array:
+    """True iff every tile's bilinear taps fit its weight spans.
 
-    Mirrors `_warp_kernel` exactly: the x window is roll-aligned to the
-    per-tile minimum sample, so the x condition is purely extent-based
-    (max tap - min tap < XW); the y base is the 8-aligned minimum, clipped to
-    the padded image.  Inputs are the exact tiled (B, nth, ntw, 1, N)
-    pixel-coordinate arrays handed to the kernel.
+    Mirrors the band kernel exactly: both windows are roll-aligned to the
+    per-tile minimum sample (lane roll in x, sublane roll in y), so both
+    conditions are purely extent-based (max tap - min tap < span).  Inputs
+    are the exact tiled (B, nth, ntw, 1, N) pixel-coordinate arrays handed
+    to the kernel.
     """
     x0 = jnp.floor(x_pix).astype(jnp.int32)
     y0 = jnp.floor(y_pix).astype(jnp.int32)
@@ -202,9 +224,8 @@ def _windows_ok(x_pix: jax.Array, y_pix: jax.Array, H: int, W: int,
     x1c = jnp.clip(x0 + 1, 0, W - 1)
     y0c = jnp.clip(y0, 0, H - 1)
     y1c = jnp.clip(y0 + 1, 0, H - 1)
-    ybase = jnp.clip(jnp.min(y0c, axis=-1) & ~7, 0, Hp_im - YB)
-    ok_x = jnp.max(x1c, axis=-1) - jnp.min(x0c, axis=-1) <= XW - 1
-    ok_y = jnp.max(y1c, axis=-1) - ybase <= YB - 1
+    ok_x = jnp.max(x1c, axis=-1) - jnp.min(x0c, axis=-1) <= x_span - 1
+    ok_y = jnp.max(y1c, axis=-1) - jnp.min(y0c, axis=-1) <= y_span - 1
     return jnp.all(ok_x & ok_y)
 
 
@@ -215,9 +236,10 @@ def _sample_core(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                  strict_edge: bool = True) -> jax.Array:
     """Shared core: channels-first image (B, C, H, W), any sample dtype.
 
-    x_band is the per-tile WEIGHT SPAN XW (max - min sample across a tile);
-    the DMA window is automatically XW + 128 wide (rounded up) to absorb the
-    128-alignment of its base, then roll-aligned in-kernel.  tile_w trades
+    y_band / x_band are the per-tile WEIGHT SPANS (max - min sample across a
+    tile, rows / columns); the DMA window is automatically (y_band + 8,
+    x_band + 128-rounded) to absorb the (8, 128)-alignment of its base, then
+    roll-compacted back onto the spans in-kernel.  tile_w trades
     MXU/VPU work against span: a narrower tile needs a narrower span (the
     weight build is O(span) per output pixel) at the cost of more grid
     programs.  tile_h * tile_w must be a multiple of 128 (the flattened tile
@@ -300,17 +322,20 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
     if (Hp_im, Wp_im) != (H, W):
         imc = jnp.pad(imc, ((0, 0), (0, 0), (0, Hp_im - H), (0, Wp_im - W)))
 
-    YB = min(_ceil_mult(y_band, 8), Hp_im)
+    YW = min(_ceil_mult(y_band, 8), Hp_im)
     XW = min(_ceil_mult(x_band, 8), Wp_im)
 
     grid = (B, nth)
     out_dtype = jnp.uint8 if out_uint8 else jnp.float32
 
-    def make_run(yb, xw):
-        # DMA window: weight span + up to 127 columns of base alignment.
+    def make_run(yw, xw):
+        # DMA windows: weight span + base alignment (up to 7 rows sublane,
+        # up to 127 columns lane), compacted back to the span in-kernel by
+        # the two dynamic rolls.
+        yb = min(yw + 8, Hp_im)
         xb = min(_ceil_mult(xw + 128, 128), Wp_im)
-        kernel = functools.partial(_warp_band_kernel, H=H, W=W, YB=yb, XW=xw,
-                                   XB=xb, C=C, ntw=ntw, exact=exact,
+        kernel = functools.partial(_warp_band_kernel, H=H, W=W, YW=yw, YB=yb,
+                                   XW=xw, XB=xb, C=C, ntw=ntw, exact=exact,
                                    out_uint8=out_uint8,
                                    strict_edge=strict_edge)
 
@@ -354,7 +379,7 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
         return run_pallas
 
     if not guard:
-        return make_run(YB, XW)()
+        return make_run(YW, XW)()
 
     # Window tiers.  Tier 1 is sized for converged-model meshes (local warp
     # stretch ~= 1); tier 2 covers strong meshes at ~1.5-2x the cost; tier 3
@@ -364,18 +389,18 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
     # window, so each tier only pays for the spread class it serves; the
     # per-tile spread checks below share subexpressions under one jit.
     tiers = []
-    for yb, xw in ((YB, XW), (2 * YB, XW + 64), (4 * YB, XW + 160)):
-        yb = min(_ceil_mult(yb, 8), Hp_im)
+    for yw, xw in ((YW, XW), (2 * YW, XW + 64), (4 * YW, XW + 160)):
+        yw = min(_ceil_mult(yw, 8), Hp_im)
         xw = min(_ceil_mult(xw, 8), Wp_im)
-        if (yb, xw) not in tiers:
-            tiers.append((yb, xw))
+        if (yw, xw) not in tiers:
+            tiers.append((yw, xw))
 
     def chain(remaining):
         if not remaining:
             return fallback
-        (yb, xw) = remaining[0]
-        ok = _windows_ok(x_pix, y_pix, H, W, yb, xw, Hp_im)
-        return lambda: jax.lax.cond(ok, make_run(yb, xw), chain(remaining[1:]))
+        (yw, xw) = remaining[0]
+        ok = _windows_ok(x_pix, y_pix, H, W, yw, xw)
+        return lambda: jax.lax.cond(ok, make_run(yw, xw), chain(remaining[1:]))
 
     return chain(tiers)()
 
@@ -386,7 +411,7 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
                      "exact", "guard", "strict_edge"),
 )
 def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
-                           y_band: int = 32, x_band: int = 80,
+                           y_band: int = 24, x_band: int = 80,
                            interpret: Optional[bool] = None,
                            tile_h: int = 16, tile_w: int = 64,
                            exact: bool = True, guard: bool = True,
@@ -396,9 +421,11 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     Args:
       im: (B, H, W, C) float32 input images.
       x_ndc, y_ndc: (B, Ho, Wo) NDC sample maps ((x+1)*W/2 pixel convention).
-      y_band: input-window row count per output tile.
-      x_band: per-tile weight SPAN (max - min sample column across a tile);
-        the DMA window is x_band + 128 wide and roll-aligned in-kernel.
+      y_band: per-tile vertical weight SPAN (max - min sample row across a
+        tile); the DMA window is y_band + 8 rows, roll-compacted in-kernel.
+      x_band: per-tile horizontal weight SPAN (max - min sample column across
+        a tile); the DMA window is x_band + 128 wide and roll-compacted
+        in-kernel.
       tile_h: output rows per kernel program (8 or 16).
       exact: HIGHEST-precision matmuls (f32-faithful, ~1e-6 vs the XLA path).
         With False the MXU runs bf16 passes (~1e-3 relative) — fine when the
@@ -424,7 +451,7 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                      "exact", "guard"),
 )
 def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
-                  y_band: int = 48, x_band: int = 96,
+                  y_band: int = 40, x_band: int = 96,
                   interpret: Optional[bool] = None,
                   tile_h: int = 32, tile_w: int = 64,
                   exact: bool = False, guard: bool = True) -> jax.Array:
@@ -468,7 +495,7 @@ def _tiled_resize_mat(n_in: int, n_out: int, tile: int) -> np.ndarray:
 )
 def warp_uint8_cf_lowres(imc: jax.Array, x_ndc_lr: jax.Array,
                          y_ndc_lr: jax.Array, out_hw: Tuple[int, int],
-                         y_band: int = 48, x_band: int = 96,
+                         y_band: int = 40, x_band: int = 96,
                          interpret: Optional[bool] = None,
                          tile_h: int = 32, tile_w: int = 64,
                          exact: bool = False, guard: bool = True) -> jax.Array:
@@ -738,7 +765,10 @@ def bilinear_splat_pallas(g: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
         if not remaining:
             return run_fallback
         (yb, xw) = remaining[0]
-        ok = _windows_ok(x_pix, y_pix, H, W, yb, xw, Hp_im)
+        # The splat window is NOT y-roll-compacted: its base is the 8-aligned
+        # minimum, which can eat up to 7 of the yb DMA rows -> guard on the
+        # conservative span yb - 7.
+        ok = _windows_ok(x_pix, y_pix, H, W, yb - 7, xw)
         return lambda: jax.lax.cond(ok, make_run(yb, xw), chain(remaining[1:]))
 
     return chain(tiers)()
