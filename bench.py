@@ -78,7 +78,7 @@ def main():
             w, _ = run_clip(g, c)
         fence((w,))
         dt = time.perf_counter() - t0
-        frames = g.shape[0] * (T - 1) * repeats
+        frames = g.shape[0] * (g.shape[1] - 1) * repeats
         return frames / dt
 
     fps_s1 = measure(gray1, color1, "s1")

@@ -72,7 +72,8 @@ def cmd_train(args):
                                      mesh, seed=args.seed,
                                      compute_flow=args.compute_flow)
         test_it = (
-            MultiHostPipeline(test_dir, cfg, mesh, seed=args.seed + 1)
+            MultiHostPipeline(test_dir, cfg, mesh, seed=args.seed + 1,
+                              compute_flow=args.compute_flow)
             if os.path.isdir(test_dir) else None
         )
     else:
@@ -80,7 +81,8 @@ def cmd_train(args):
                                  seed=args.seed,
                                  compute_flow=args.compute_flow)
         test_it = (
-            InputPipeline(test_dir, cfg, seed=args.seed + 1)
+            InputPipeline(test_dir, cfg, seed=args.seed + 1,
+                          compute_flow=args.compute_flow)
             if os.path.isdir(test_dir) else None
         )
     train(cfg, iter(train_it), test_it and iter(test_it), restore=args.restore,
@@ -148,14 +150,11 @@ def cmd_stabilize(args):
                 import numpy as np
 
                 from stabnet_tpu.eval import evaluate_clip
-                from stabnet_tpu.stream.video_io import VideoReader, to_gray_train
+                from stabnet_tpu.stream.video_io import to_gray_train
 
                 out_gray = np.stack([to_gray_train(f, cfg.height, cfg.width)
                                      for f in res.frames])
-                r = VideoReader(os.path.join(args.prefix, "unstable", name))
-                in_gray = np.stack([to_gray_train(f, cfg.height, cfg.width)
-                                    for f in r])
-                r.close()
+                in_gray = res.input_gray  # decoded once in stabilize_file
                 n = min(len(out_gray), len(in_gray))
                 scores = evaluate_clip(out_gray[:n], in_gray[:n])
                 scores["video"] = name

@@ -247,15 +247,20 @@ def augment_example(key: jax.Array, raw: Dict[str, jax.Array],
         x1 = jnp.concatenate([frames1, cur1], axis=-1)
         x2 = jnp.concatenate([frames2, cur2], axis=-1)
 
-    flow = warp_flow(raw["flow"], p, cfg)
     matches1, mask1 = warp_points(raw["matches1"], raw["mask1"], p, cfg)
     matches2, mask2 = warp_points(raw["matches2"], raw["mask2"], p, cfg)
 
-    return {
-        "x1": x1, "y1": y1, "x2": x2, "y2": y2, "flow": flow,
+    out = {
+        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
         "matches1": matches1, "mask1": mask1.astype(jnp.float32),
         "matches2": matches2, "mask2": mask2.astype(jnp.float32),
     }
+    # Flow is optional: pipelines that recompute it on device (TV-L1 between
+    # the augmented stable pair) skip warping a field whose value would be
+    # discarded — and skip its host build + upload entirely.
+    if "flow" in raw:
+        out["flow"] = warp_flow(raw["flow"], p, cfg)
+    return out
 
 
 def augment_batch(key: jax.Array, raw_batch: Dict[str, jax.Array],

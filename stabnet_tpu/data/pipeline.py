@@ -120,19 +120,17 @@ class InputPipeline:
 
 
 def ensure_flow(raw, cfg: StabNetConfig, compute_flow: bool):
-    """Validate/patch the raw batch's flow field ahead of augmentation."""
-    if "flow" in raw:
+    """Validate the raw batch's flow field ahead of augmentation.
+
+    With `compute_flow` the record flow (if any) is dropped so the batch
+    never pays its upload/augmentation — the on-device TV-L1 result replaces
+    it after augmentation (augment_example treats flow as optional)."""
+    if compute_flow:
+        raw.pop("flow", None)
         return raw
-    if not compute_flow:
+    if "flow" not in raw:
         raise ValueError(
             "record shards have no `flow` field; train with --compute-flow "
             "(on-device TV-L1) or bake flow into the shards"
         )
-    # Identity placeholder so the augmentation graph is uniform; the
-    # computed flow overwrites it after augmentation.
-    B = raw["stable"].shape[0]
-    H, W = cfg.height, cfg.width
-    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-    ident = np.stack([2.0 * xs / W - 1.0, 2.0 * ys / H - 1.0], axis=-1)
-    raw["flow"] = np.broadcast_to(ident, (B, H, W, 2)).copy()
     return raw

@@ -32,6 +32,11 @@ def make_video(num_frames: int, height: int, width: int, seed: int = 0,
     translation-only flow/match model is EXACT — a frame-flipping or
     independently-moving box would make the temporal/feature losses
     unsatisfiable and synthetic training would diverge once they gate in.
+    The box is drawn as a (width, height)-periodic pattern in CONTENT
+    coordinates, so when drift carries it past a frame edge it re-enters
+    split across the opposite edge (like the periodic sinusoid) instead of
+    teleporting — a jump would locally break the rigid-translation
+    guarantee right where the high-gradient pixels are.
     """
     rng = np.random.RandomState(seed)
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -51,10 +56,9 @@ def make_video(num_frames: int, height: int, width: int, seed: int = 0,
             + 60 * np.sin(2 * np.pi * (xs + dx) / 37 + phase_x)
             + 50 * np.sin(2 * np.pi * (ys + dy) / 29 + phase_y)
         )
-        # High-contrast box riding the global translation.
-        bx = int(round(cbx - dx)) % max(width - 20, 1)
-        by = int(round(cby - dy)) % max(height - 16, 1)
-        img[by : by + 16, bx : bx + 20] = box_color
+        # High-contrast box riding the global translation (content-periodic).
+        in_box = (((xs + dx - cbx) % width) < 20) & (((ys + dy - cby) % height) < 16)
+        img = np.where(in_box, float(box_color), img)
         out[t] = np.clip(img, 0, 255).astype(np.uint8)[..., None].repeat(channels, -1)
     if return_offsets:
         return out, offsets.astype(np.float32)

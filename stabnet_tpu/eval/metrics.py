@@ -92,21 +92,24 @@ def _normalize_h(Hm: jax.Array) -> jax.Array:
     return Hm / Hm[..., 2:3, 2:3]
 
 
-def stability_score(Hs: jax.Array, fps_window: int = 6) -> jax.Array:
+def stability_score(Hs: jax.Array, band_edge: int = 6) -> jax.Array:
     """Spectral stability of the camera path (higher = steadier, in (0, 1]).
 
     Standard definition (Bundled Camera Paths, Sec. 6; used by the StabNet
     paper's comparisons): accumulate the inter-frame motion into a camera
     path, take the translation (tx, ty) and rotation components as 1-D
-    signals, and score each as the energy of the 2nd..6th lowest non-DC
-    frequency components over the total non-DC energy; the final score is
-    the minimum of the three component scores.
+    signals, and score each as the energy of the 2nd..`band_edge`-th lowest
+    frequency components (DC is the 1st, so this is the `band_edge - 1`
+    lowest non-DC components) over the total non-DC energy; the final score
+    is the minimum of the three component scores.
 
     Args:
       Hs: (T-1, 3, 3) inter-frame homographies of the OUTPUT video
         (frame t -> t+1).  The score discriminates only when the clip is
-        longer than ~2x the 6-component low band (T >~ 15); shorter clips
-        saturate at 1.0.
+        longer than ~2x the low band (T >~ 15); shorter clips saturate
+        at 1.0.
+      band_edge: highest frequency bin (1-indexed, DC = 1) counted as "low";
+        6 is the Bundled-Camera-Paths convention.
     """
     Hn = _normalize_h(Hs)
     tx = Hn[:, 0, 2]
@@ -117,7 +120,7 @@ def stability_score(Hs: jax.Array, fps_window: int = 6) -> jax.Array:
         path = jnp.cumsum(delta)
         spec = jnp.abs(jnp.fft.rfft(path)) ** 2
         non_dc = spec[1:]
-        low = non_dc[:5]
+        low = non_dc[:band_edge - 1]
         return jnp.sum(low) / jnp.maximum(jnp.sum(non_dc), 1e-12)
 
     return jnp.minimum(jnp.minimum(score(tx), score(ty)), score(rot))

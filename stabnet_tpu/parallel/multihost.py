@@ -42,21 +42,31 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> None:
     """Bring up the JAX distributed runtime (idempotent, env-var driven).
 
-    No-op for single-process runs: only initializes when explicit arguments
-    or the standard JAX_COORDINATOR_ADDRESS / cluster-autodetect environment
-    is present, so single-host CLI invocations never pay the rendezvous.
+    No-op for single-process runs: only initializes when explicit arguments,
+    JAX_COORDINATOR_ADDRESS, or STABNET_DISTRIBUTED=1 (cluster auto-detect,
+    e.g. TPU pod metadata) is present, so single-host CLI invocations never
+    pay the rendezvous.
+
+    Must run before any other JAX call: checking `jax.process_count()` (or
+    touching `jax.devices()`) initializes the local XLA backend, after which
+    `jax.distributed.initialize` refuses to run — so the idempotence guard
+    uses `jax.distributed.is_initialized()`, which does not create backends.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    if coordinator_address is None and num_processes is None:
+    autodetect = os.environ.get("STABNET_DISTRIBUTED", "") == "1"
+    if coordinator_address is None and num_processes is None and not autodetect:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if coordinator_address is None and num_processes is None:
+        jax.distributed.initialize()   # cluster auto-detect (TPU pods)
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     logger.info("distributed: process %d/%d, %d local / %d global devices",
                 jax.process_index(), jax.process_count(),
                 jax.local_device_count(), jax.device_count())

@@ -46,6 +46,9 @@ class ClipResult:
     all_black: np.ndarray         # (H, W) accumulated black counts
     fps_net: float                # net-step throughput (frames/s)
     vis: Optional[np.ndarray] = None
+    input_gray: Optional[np.ndarray] = None  # (T, H, W) model-scale inputs
+                                             # (reused by `stabilize --metrics`
+                                             # so the clip is decoded once)
 
 
 def _bounce(delta: int, bound: int, speed: int) -> Tuple[int, int]:
@@ -82,6 +85,8 @@ class StreamDriver:
 
         out_hw = opt.output_size or unstable.shape[1:3]
         out_frames: List[np.ndarray] = [self._resize_color(first, out_hw)]
+        in_grays: List[np.ndarray] = [
+            video_io.to_gray_train(unstable[0], cfg.height, cfg.width, 1.0)]
         vis_frames: List[np.ndarray] = []
         tot_net = 0.0
 
@@ -93,6 +98,14 @@ class StreamDriver:
         span_stack = None
         span_age = 0
         delta, speed = 0, opt.random_black or 0
+        if opt.random_black is not None and stable is None:
+            # Reference quirk preserved: the occlusion applies to the STABLE
+            # train frame (deploy_bundle.py:252-256), so without a stable
+            # ground-truth clip there is nothing to occlude.
+            logger.warning(
+                "--random-black has no effect: no stable ground-truth video "
+                "for this clip (the occlusion applies to the stable history "
+                "frames; pair it with --infer-with-stable)")
 
         # At t=1 the "last output" is the warm-up frame replicated into the
         # history (deploy_bundle.py:216-224).
@@ -100,6 +113,7 @@ class StreamDriver:
         for t in range(1, T):
             frame = unstable[t]
             cur_gray = video_io.to_gray_train(frame, cfg.height, cfg.width, 1.0)
+            in_grays.append(cur_gray)
             # --random-black occludes the STABLE train frame that feeds the
             # history under --infer-with-stable (deploy_bundle.py:249-256) —
             # a robustness test of the history channels, not of the current
@@ -174,6 +188,7 @@ class StreamDriver:
             all_black=all_black,
             fps_net=fps_net,
             vis=np.stack(vis_frames) if vis_frames else None,
+            input_gray=np.stack(in_grays),
         )
 
     # -- file interface (reference CLI behavior) -----------------------------

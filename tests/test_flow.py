@@ -119,3 +119,10 @@ def test_pipeline_computes_flow_for_flowless_shards(tmp_path):
     scale = np.array([cfg.width, cfg.height], np.float32) / 2.0
     diff_px = np.abs(f_got - f_ref) * scale
     assert np.median(diff_px[:, 8:-8, 8:-8]) < 1.0
+
+    # compute_flow on shards that DO carry flow: the record flow is dropped
+    # before augmentation (never uploaded/warped) and replaced by the same
+    # TV-L1 estimate — regression test for the flow-skip path.
+    both = next(iter(InputPipeline(with_flow, cfg, batch_size=2, shuffle=False,
+                                   seed=5, compute_flow=True)))
+    np.testing.assert_allclose(np.asarray(both["flow"]), f_got)
