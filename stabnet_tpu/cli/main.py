@@ -20,6 +20,46 @@ import os
 import sys
 
 
+def _load_variables(model, cfg, tf_checkpoint=None, model_dir=None,
+                    what="using"):
+    """Resolve model variables from --tf-checkpoint / --model-dir / random.
+
+    Shared by `stabilize` and `export` (same flag semantics; the reference
+    always loads from its TF checkpoint dir, deploy_bundle.py:45-46).
+    """
+    import jax
+
+    from stabnet_tpu.models import init_variables
+
+    if tf_checkpoint:
+        from stabnet_tpu.compat import convert_stabnet_checkpoint
+
+        return convert_stabnet_checkpoint(tf_checkpoint)
+    if model_dir:
+        from stabnet_tpu.train import checkpoint as ckpt
+        from stabnet_tpu.train.state import create_train_state
+
+        state = ckpt.restore(
+            model_dir, create_train_state(model, cfg, jax.random.PRNGKey(0)))
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    print(f"warning: no checkpoint given; {what} random weights",
+          file=sys.stderr)
+    return init_variables(model, cfg, jax.random.PRNGKey(0))
+
+
+def _read_video_lists(paths, allow_names=False):
+    """Video names from list file(s); with `allow_names`, bare names pass
+    through (reference --test-list semantics, deploy_bundle.py:20)."""
+    names = []
+    for list_path in paths:
+        if os.path.isfile(list_path):
+            with open(list_path) as f:
+                names.extend(v.strip() for v in f.read().split("\n") if v.strip())
+        elif allow_names:
+            names.append(list_path)
+    return names
+
+
 def _add_stabilize_args(p: argparse.ArgumentParser):
     # Reference flags: deploy_bundle.py:12-31.
     p.add_argument("--model-dir", required=False, default=None,
@@ -91,31 +131,13 @@ def cmd_train(args):
 
 
 def cmd_stabilize(args):
-    import jax
-
     from stabnet_tpu.config import get_config
-    from stabnet_tpu.models import init_variables, make_model
+    from stabnet_tpu.models import make_model
     from stabnet_tpu.stream import DeployOptions, StreamDriver, StreamEngine
 
     cfg = get_config(args.config)
     model = make_model(cfg)
-    if args.tf_checkpoint:
-        from stabnet_tpu.compat import convert_stabnet_checkpoint
-
-        variables = convert_stabnet_checkpoint(args.tf_checkpoint)
-    elif args.model_dir:
-        from stabnet_tpu.train import checkpoint as ckpt
-        from stabnet_tpu.train.state import create_train_state
-
-        state = ckpt.restore(
-            args.model_dir,
-            create_train_state(model, cfg, jax.random.PRNGKey(0)),
-        )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-    else:
-        print("warning: no checkpoint given; using random weights",
-              file=sys.stderr)
-        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = _load_variables(model, cfg, args.tf_checkpoint, args.model_dir)
 
     engine = StreamEngine(
         model, variables, cfg, refine=args.refine,
@@ -131,11 +153,7 @@ def cmd_stabilize(args):
     )
     driver = StreamDriver(engine, opt)
 
-    videos = []
-    for list_path in args.test_list:
-        if os.path.isfile(list_path):
-            with open(list_path) as f:
-                videos.extend(v for v in f.read().split("\n") if v.strip())
+    videos = _read_video_lists(args.test_list)
     failures = 0
     for name in videos:
         try:
@@ -255,33 +273,17 @@ def cmd_inspect_data(args):
 
 def cmd_export(args):
     """Serialize the streaming step as a serving artifact (jax.export)."""
-    import sys
-
-    import jax
     import numpy as np
 
     from stabnet_tpu.config import get_config
-    from stabnet_tpu.models import init_variables, make_model
+    from stabnet_tpu.models import make_model
     from stabnet_tpu.stream.export import (export_stream_step,
                                            initial_state, load_stream_step)
 
     cfg = get_config(args.config)
     model = make_model(cfg)
-    if args.tf_checkpoint:
-        from stabnet_tpu.compat import convert_stabnet_checkpoint
-
-        variables = convert_stabnet_checkpoint(args.tf_checkpoint)
-    elif args.model_dir:
-        from stabnet_tpu.train import checkpoint as ckpt
-        from stabnet_tpu.train.state import create_train_state
-
-        state = ckpt.restore(
-            args.model_dir, create_train_state(model, cfg, jax.random.PRNGKey(0)))
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-    else:
-        print("warning: no checkpoint given; exporting random weights",
-              file=sys.stderr)
-        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = _load_variables(model, cfg, args.tf_checkpoint,
+                                args.model_dir, what="exporting")
 
     out_hw = tuple(args.output_size)
     data = export_stream_step(model, variables, cfg, out_hw,
@@ -308,19 +310,11 @@ def cmd_make_dataset(args):
     TFRecords: feature matches are computed here (ORB + RANSAC,
     stabnet_tpu.data.ingest) and optical flow on device at train time
     (--compute-flow)."""
-    import os
-
     from stabnet_tpu.config import get_config
     from stabnet_tpu.data.ingest import build_dataset
 
     cfg = get_config(args.config)
-    names = []
-    for list_path in args.list:
-        if os.path.isfile(list_path):
-            with open(list_path) as f:
-                names.extend(v.strip() for v in f.read().split("\n") if v.strip())
-        else:
-            names.append(list_path)
+    names = _read_video_lists(args.list, allow_names=True)
     n = build_dataset(args.prefix, names, args.out, cfg, stride=args.stride,
                       max_per_video=args.max_per_video)
     print(f"wrote {n} examples -> {args.out}")
