@@ -14,13 +14,41 @@ stderr as a secondary stat.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
+def _arm_init_watchdog(seconds: float = 600.0):
+    """Abort (honestly, loudly) if backend init wedges instead of hanging forever.
+
+    The axon TPU tunnel on this rig can wedge such that even `jax.devices()`
+    blocks indefinitely (observed after a client process died mid-RPC).  A
+    benchmark that never returns is worse than one that reports the failure:
+    the watchdog fires only if the first device computation hasn't completed
+    within `seconds`, prints a diagnostic, and exits non-zero.  It is disarmed
+    the moment the backend responds; it never affects a healthy run.
+    """
+    armed = threading.Event()
+
+    def watch():
+        if not armed.wait(seconds):
+            print(
+                f"bench: backend init did not complete within {seconds:.0f}s "
+                "— TPU tunnel appears wedged; no measurement taken",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return armed
+
+
 def main():
+    watchdog_disarm = _arm_init_watchdog()
     import jax
 
     from stabnet_tpu.config import get_config
@@ -34,6 +62,9 @@ def main():
     cfg = get_config("v2_93")
     model = make_model(cfg)
     variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    # First real device computation done -> the backend is alive; disarm.
+    float(jnp.sum(jax.tree_util.tree_leaves(variables)[0]))
+    watchdog_disarm.set()
     # A randomly initialized theta head emits O(1)-NDC mesh offsets — local
     # warp stretches ~20x anything a converged stabilizer produces (training
     # drives theta toward zero via id_loss; deployed meshes correct a few % of
