@@ -1,0 +1,34 @@
+"""The bench init watchdog: fires on a wedged backend, is silent otherwise."""
+
+import subprocess
+import sys
+
+
+def _run(body: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-c", "import sys; sys.path.insert(0, '/root/repo')\n" + body],
+        capture_output=True, text=True, timeout=60,
+    )
+
+
+def test_fires_when_never_disarmed():
+    r = _run(
+        "import bench, time\n"
+        "bench._arm_init_watchdog(1.0)\n"
+        "time.sleep(8)\n"
+        "print('unreachable')\n"
+    )
+    assert r.returncode == 3
+    assert "wedged" in r.stderr
+    assert "unreachable" not in r.stdout
+
+
+def test_silent_when_disarmed():
+    r = _run(
+        "import bench, time\n"
+        "bench._arm_init_watchdog(1.0).set()\n"
+        "time.sleep(2)\n"
+        "print('survived')\n"
+    )
+    assert r.returncode == 0
+    assert "survived" in r.stdout
