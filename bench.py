@@ -48,8 +48,15 @@ def _arm_init_watchdog(seconds: float = 600.0):
 
 
 def main():
-    watchdog_disarm = _arm_init_watchdog()
+    watchdog_disarm = _arm_init_watchdog(
+        float(os.environ.get("STABNET_BENCH_WATCHDOG_S", "600")))
     import jax
+
+    # The axon TPU plugin force-installs jax_platforms="axon,cpu", overriding
+    # the JAX_PLATFORMS env var; honor an explicit env request (the CI test
+    # runs this script on the virtual CPU mesh) via jax.config, which wins.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from stabnet_tpu.config import get_config
     from stabnet_tpu.data.synthetic import make_video
@@ -59,7 +66,7 @@ def main():
 
     import jax.numpy as jnp
 
-    cfg = get_config("v2_93")
+    cfg = get_config(os.environ.get("STABNET_BENCH_CONFIG", "v2_93"))
     model = make_model(cfg)
     variables = init_variables(model, cfg, jax.random.PRNGKey(0))
     # First real device computation done -> the backend is alive; disarm.
@@ -77,20 +84,40 @@ def main():
         variables,
     )
 
-    out_h, out_w = 720, 1280
-    T = 61           # frames per clip (T-1 processed)
-    S = 8            # concurrent streams in batch mode
-    repeats = 2
+    # Defaults are the headline configuration; the env overrides exist so the
+    # multi-device code path below is exercisable on a virtual CPU mesh in CI
+    # (tests/test_bench_multidev.py) without a 720p-on-CPU run.
+    out_h, out_w = (int(v) for v in
+                    os.environ.get("STABNET_BENCH_OUT", "720,1280").split(","))
+    T = int(os.environ.get("STABNET_BENCH_T", "61"))    # frames/clip (T-1 processed)
+    S = int(os.environ.get("STABNET_BENCH_S", "8"))     # streams per chip, batch mode
+    repeats = int(os.environ.get("STABNET_BENCH_REPEATS", "2"))
+
+    # On a multi-chip rig the batch leg shards S streams per chip over the
+    # data mesh (parameters replicated, clip axis split — zero steady-state
+    # collectives); the headline number stays frames/s/CHIP.  Single-chip
+    # behavior is byte-identical to before.
+    n_dev = len(jax.devices())
 
     uniq = make_video(8, out_h, out_w, seed=0, jitter=4.0)
     color1 = uniq[np.arange(T) % 8][None]                          # (1, T, 720, 1280, 3)
     gray1 = np.stack(
         [to_gray_train(f, cfg.height, cfg.width) for f in color1[0]]
     )[None]                                                        # (1, T, 288, 512)
-    colorS = np.broadcast_to(color1, (S,) + color1.shape[1:]).copy()
-    grayS = np.broadcast_to(gray1, (S,) + gray1.shape[1:]).copy()
+    S_total = S * n_dev
+    colorS = np.broadcast_to(color1, (S_total,) + color1.shape[1:]).copy()
+    grayS = np.broadcast_to(gray1, (S_total,) + gray1.shape[1:]).copy()
 
     engine = StreamEngine(model, variables, cfg, out_hw=(out_h, out_w))
+
+    if n_dev > 1:
+        from stabnet_tpu.parallel import data_mesh
+        mesh = data_mesh()
+
+        def run_batch(g, c):
+            return engine.stabilize_clips_sharded(g, c, mesh=mesh)
+    else:
+        run_batch = None  # single chip: the batch leg uses the plain path
 
     def fence(arrs):
         return float(jnp.sum(arrs[0][:, -1, ::97, ::119, 0].astype(jnp.int32)))
@@ -99,21 +126,23 @@ def main():
         warped, state = engine.stabilize_clip(g, c)
         return warped, state
 
-    def measure(g, c, label):
+    def measure(g, c, label, run=None):
+        run = run or run_clip
         g = jnp.asarray(g)
         c = jnp.asarray(c)
-        w, _ = run_clip(g, c)     # compile + warm
+        w, _ = run(g, c)          # compile + warm
         fence((w,))
         t0 = time.perf_counter()
         for _ in range(repeats):
-            w, _ = run_clip(g, c)
+            w, _ = run(g, c)
         fence((w,))
         dt = time.perf_counter() - t0
         frames = g.shape[0] * (g.shape[1] - 1) * repeats
         return frames / dt
 
     fps_s1 = measure(gray1, color1, "s1")
-    fps_batch = measure(grayS, colorS, "batch")
+    fps_batch_total = measure(grayS, colorS, "batch", run=run_batch)
+    fps_batch = fps_batch_total / n_dev
 
     # Device-side per-frame online latency by the SLOPE method: time the
     # single-stream whole-clip scan at two clip lengths and divide the delta
@@ -121,7 +150,7 @@ def main():
     # on this rig, fence readback) cancel; what remains is the marginal
     # device time per online frame — the number that applies on
     # directly-attached hardware (<10 ms p50 north star, BASELINE.md).
-    T_short = 21
+    T_short = min(21, max(3, T // 3 + 2))
     fps_short = measure(gray1[:, :T_short], color1[:, :T_short], "s1short")
     t_long = (T - 1) * repeats / fps_s1
     t_short = (T_short - 1) * repeats / fps_short
@@ -144,7 +173,10 @@ def main():
         "online_frame_latency_device_ms_slope": round(device_ms, 3),
         "online_step_latency_wall_p50_ms": float(np.percentile(lat_ms, 50)),
         "device": str(jax.devices()[0]),
+        "n_devices": n_dev,
     }
+    if n_dev > 1:
+        stats["fps_720p_batch_total"] = fps_batch_total
     print(json.dumps(stats), file=sys.stderr)
 
     baseline_fps = 500.0
