@@ -33,6 +33,8 @@ def _arm_init_watchdog(seconds: float = 600.0):
     the moment the backend responds; it never affects a healthy run.
     """
     armed = threading.Event()
+    if seconds <= 0:        # explicit disable (e.g. directly-attached rigs)
+        return armed
 
     def watch():
         if not armed.wait(seconds):
@@ -90,6 +92,7 @@ def main():
     out_h, out_w = (int(v) for v in
                     os.environ.get("STABNET_BENCH_OUT", "720,1280").split(","))
     T = int(os.environ.get("STABNET_BENCH_T", "61"))    # frames/clip (T-1 processed)
+    assert T >= 9, "need >= 9 frames for the slope and latency legs"
     S = int(os.environ.get("STABNET_BENCH_S", "8"))     # streams per chip, batch mode
     repeats = int(os.environ.get("STABNET_BENCH_REPEATS", "2"))
 
@@ -111,13 +114,16 @@ def main():
     engine = StreamEngine(model, variables, cfg, out_hw=(out_h, out_w))
 
     if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from stabnet_tpu.parallel import data_mesh
         mesh = data_mesh()
+        batch_sharding = NamedSharding(mesh, P(cfg.mesh_data_axis))
 
         def run_batch(g, c):
             return engine.stabilize_clips_sharded(g, c, mesh=mesh)
     else:
-        run_batch = None  # single chip: the batch leg uses the plain path
+        run_batch, batch_sharding = None, None  # single chip: plain path
 
     def fence(arrs):
         return float(jnp.sum(arrs[0][:, -1, ::97, ::119, 0].astype(jnp.int32)))
@@ -126,10 +132,15 @@ def main():
         warped, state = engine.stabilize_clip(g, c)
         return warped, state
 
-    def measure(g, c, label, run=None):
+    def measure(g, c, label, run=None, sharding=None):
+        # Commit inputs up front (so upload isn't in the timed window) — with
+        # the shard sharding for the multi-chip leg: committing S*n_dev 720p
+        # clips to device 0 first would overflow one chip's HBM.
         run = run or run_clip
-        g = jnp.asarray(g)
-        c = jnp.asarray(c)
+        put = ((lambda a: jax.device_put(a, sharding))
+               if sharding is not None else jnp.asarray)
+        g = put(g)
+        c = put(c)
         w, _ = run(g, c)          # compile + warm
         fence((w,))
         t0 = time.perf_counter()
@@ -141,7 +152,8 @@ def main():
         return frames / dt
 
     fps_s1 = measure(gray1, color1, "s1")
-    fps_batch_total = measure(grayS, colorS, "batch", run=run_batch)
+    fps_batch_total = measure(grayS, colorS, "batch", run=run_batch,
+                              sharding=batch_sharding)
     fps_batch = fps_batch_total / n_dev
 
     # Device-side per-frame online latency by the SLOPE method: time the
@@ -150,7 +162,7 @@ def main():
     # on this rig, fence readback) cancel; what remains is the marginal
     # device time per online frame — the number that applies on
     # directly-attached hardware (<10 ms p50 north star, BASELINE.md).
-    T_short = min(21, max(3, T // 3 + 2))
+    T_short = max(2, min(21, T // 3 + 2, T - 1))
     fps_short = measure(gray1[:, :T_short], color1[:, :T_short], "s1short")
     t_long = (T - 1) * repeats / fps_s1
     t_short = (T_short - 1) * repeats / fps_short
@@ -167,22 +179,25 @@ def main():
         lat.append(time.perf_counter() - s)
     lat_ms = np.asarray(lat[2:]) * 1e3
 
+    # Key names reflect the ACTUAL measured configuration so archived bench
+    # artifacts from non-default env overrides can't masquerade as the
+    # headline batch-8 720p numbers.
     stats = {
-        "fps_720p_single_stream": fps_s1,
-        "fps_720p_batch8_per_chip": fps_batch,
+        f"fps_{out_h}p_single_stream": fps_s1,
+        f"fps_{out_h}p_batch{S}_per_chip": fps_batch,
         "online_frame_latency_device_ms_slope": round(device_ms, 3),
         "online_step_latency_wall_p50_ms": float(np.percentile(lat_ms, 50)),
         "device": str(jax.devices()[0]),
         "n_devices": n_dev,
     }
     if n_dev > 1:
-        stats["fps_720p_batch_total"] = fps_batch_total
+        stats[f"fps_{out_h}p_batch_total"] = fps_batch_total
     print(json.dumps(stats), file=sys.stderr)
 
     baseline_fps = 500.0
     fps = max(fps_s1, fps_batch)
     print(json.dumps({
-        "metric": "stabilized_720p_throughput",
+        "metric": f"stabilized_{out_h}p_throughput",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline_fps, 4),

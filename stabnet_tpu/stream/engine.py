@@ -319,6 +319,9 @@ class StreamEngine:
                 out_hw=out_hw, use_pallas=use_pallas,
             )
         )
+        # Sharded whole-clip callables, one per mesh (jax.jit instances cache
+        # per instance — rebuilding one per call would recompile every call).
+        self._clip_sharded: dict = {}
 
     def init(self, first_gray: np.ndarray) -> StreamState:
         return jax.jit(functools.partial(init_state, cfg=self.cfg))(
@@ -362,20 +365,26 @@ class StreamEngine:
         from stabnet_tpu.parallel import data_mesh
 
         mesh = mesh or data_mesh()
-        use_pallas = mesh.devices.flat[0].platform in ("tpu", "axon")
-        repl = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(self.cfg.mesh_data_axis))
-        fn = jax.jit(
-            functools.partial(
-                stabilize_clip_device, self.model, cfg=self.cfg,
-                refine=self.refine, out_hw=self.out_hw,
-                use_pallas=use_pallas,
-            ),
-            in_shardings=(repl, shard, shard),
-            out_shardings=(shard, StreamState(shard, shard, repl, shard)),
-        )
-        return fn(self.variables, jnp.asarray(clip_gray),
-                  jnp.asarray(clip_color))
+        fn = self._clip_sharded.get(mesh)
+        if fn is None:
+            use_pallas = mesh.devices.flat[0].platform in ("tpu", "axon")
+            repl = NamedSharding(mesh, P())
+            fn = jax.jit(
+                functools.partial(
+                    stabilize_clip_device, self.model, cfg=self.cfg,
+                    refine=self.refine, out_hw=self.out_hw,
+                    use_pallas=use_pallas,
+                ),
+                in_shardings=(repl, shard, shard),
+                out_shardings=(shard, StreamState(shard, shard, repl, shard)),
+            )
+            self._clip_sharded[mesh] = fn
+        # Place inputs with the shard sharding up front: a bare jnp.asarray
+        # would commit the full multi-chip batch to device 0's HBM before the
+        # jit reshards it (S*n_dev 720p clips overflow one chip).
+        return fn(self.variables, jax.device_put(clip_gray, shard),
+                  jax.device_put(clip_color, shard))
 
 
 def crop_rectangle(all_black: np.ndarray) -> Tuple[int, int, int, int]:

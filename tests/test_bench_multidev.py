@@ -31,11 +31,12 @@ def test_bench_runs_sharded_on_virtual_mesh():
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
-    # Driver contract: ONE JSON line on stdout.
+    # Driver contract: ONE JSON line on stdout.  Key names carry the actual
+    # measured configuration (48p, batch 1/chip here).
     lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1
     headline = json.loads(lines[0])
-    assert headline["metric"] == "stabilized_720p_throughput"
+    assert headline["metric"] == "stabilized_48p_throughput"
     assert headline["unit"] == "frames/s/chip"
     assert headline["value"] > 0
 
@@ -43,6 +44,6 @@ def test_bench_runs_sharded_on_virtual_mesh():
     # and the headline per-chip number is total/8.
     stats = json.loads([l for l in r.stderr.splitlines() if l.startswith("{")][-1])
     assert stats["n_devices"] == 8
-    assert stats["fps_720p_batch_total"] > 0
-    assert abs(stats["fps_720p_batch_total"] / 8
-               - stats["fps_720p_batch8_per_chip"]) < 1e-6
+    assert stats["fps_48p_batch_total"] > 0
+    assert abs(stats["fps_48p_batch_total"] / 8
+               - stats["fps_48p_batch1_per_chip"]) < 1e-6

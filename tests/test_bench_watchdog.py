@@ -1,14 +1,28 @@
 """The bench init watchdog: fires on a wedged backend, is silent otherwise."""
 
+import os
 import subprocess
 import sys
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _run(body: str) -> subprocess.CompletedProcess:
     return subprocess.run(
-        [sys.executable, "-c", "import sys; sys.path.insert(0, '/root/repo')\n" + body],
+        [sys.executable, "-c", f"import sys; sys.path.insert(0, {_REPO!r})\n" + body],
         capture_output=True, text=True, timeout=60,
     )
+
+
+def test_zero_disables():
+    r = _run(
+        "import bench, time\n"
+        "bench._arm_init_watchdog(0.0)\n"
+        "time.sleep(2)\n"
+        "print('survived')\n"
+    )
+    assert r.returncode == 0
+    assert "survived" in r.stdout
 
 
 def test_fires_when_never_disarmed():
