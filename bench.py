@@ -74,17 +74,11 @@ def main():
     # First real device computation done -> the backend is alive; disarm.
     float(jnp.sum(jax.tree_util.tree_leaves(variables)[0]))
     watchdog_disarm.set()
-    # A randomly initialized theta head emits O(1)-NDC mesh offsets — local
-    # warp stretches ~20x anything a converged stabilizer produces (training
-    # drives theta toward zero via id_loss; deployed meshes correct a few % of
-    # the frame).  Scale the final head layer so the benchmarked warp field
-    # has production magnitude; the engine's tile-window guard and its wide
-    # tiers stay live in the measured path, so out-of-window handling is still
-    # part of what is being timed.
-    variables = jax.tree_util.tree_map_with_path(
-        lambda p, a: a * 0.05 if "head" in str(p) and "out" in str(p) else a,
-        variables,
-    )
+    # Production-magnitude warp field (the engine's tile-window guard and its
+    # wide tiers stay live in the measured path, so out-of-window handling is
+    # still part of what is being timed).
+    from stabnet_tpu.models import scale_theta_head
+    variables = scale_theta_head(variables)
 
     # Defaults are the headline configuration; the env overrides exist so the
     # multi-device code path below is exercisable on a virtual CPU mesh in CI

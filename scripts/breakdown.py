@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stabnet_tpu.config import get_config
-from stabnet_tpu.models import init_variables, make_model
+from stabnet_tpu.models import init_variables, make_model, scale_theta_head
 from stabnet_tpu.ops import black_mask, dense_maps, mesh_to_homographies
 from stabnet_tpu.ops.mesh import theta_to_mesh
 from stabnet_tpu.ops.pallas_warp import (bilinear_sample_pallas,
@@ -34,10 +34,7 @@ H, W = cfg.height, cfg.width
 Ho, Wo = 720, 1280
 model = make_model(cfg)
 variables = init_variables(model, cfg, jax.random.PRNGKey(0))
-variables = jax.tree_util.tree_map_with_path(
-    lambda p, a: a * 0.05 if "head" in str(p) and "out" in str(p) else a,
-    variables,
-)
+variables = scale_theta_head(variables)
 
 rng = np.random.RandomState(0)
 

@@ -12,17 +12,14 @@ import numpy as np
 
 from stabnet_tpu.config import get_config
 from stabnet_tpu.data.synthetic import make_video
-from stabnet_tpu.models import init_variables, make_model
+from stabnet_tpu.models import init_variables, make_model, scale_theta_head
 from stabnet_tpu.stream import StreamEngine
 from stabnet_tpu.stream.video_io import to_gray_train
 
 cfg = get_config("v2_93")
 model = make_model(cfg)
 variables = init_variables(model, cfg, jax.random.PRNGKey(0))
-variables = jax.tree_util.tree_map_with_path(
-    lambda p, a: a * 0.05 if "head" in str(p) and "out" in str(p) else a,
-    variables,
-)
+variables = scale_theta_head(variables)
 
 out_h, out_w = 720, 1280
 T = 61

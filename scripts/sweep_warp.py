@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from stabnet_tpu.config import get_config
 from stabnet_tpu.data.synthetic import make_video
-from stabnet_tpu.models import init_variables, make_model
+from stabnet_tpu.models import init_variables, make_model, scale_theta_head
 from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas, warp_uint8_cf
 from stabnet_tpu.ops.resize import resize_bilinear_bhw as rb
 from stabnet_tpu.ops.warp import bilinear_sample
@@ -68,10 +68,7 @@ def main():
     variables = init_variables(model, cfg, jax.random.PRNGKey(0))
     # Production-magnitude warps (see bench.py): a random head emits O(1)-NDC
     # offsets; tier-1 windows are sized for converged-model meshes.
-    variables = jax.tree_util.tree_map_with_path(
-        lambda p, a: a * 0.05 if "head" in str(p) and "out" in str(p) else a,
-        variables,
-    )
+    variables = scale_theta_head(variables)
     out_h, out_w = 720, 1280
     H, W = cfg.height, cfg.width
 

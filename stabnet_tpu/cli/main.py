@@ -108,18 +108,25 @@ def cmd_train(args):
         from stabnet_tpu.parallel import MultiHostPipeline, data_mesh
 
         mesh = data_mesh()
+        # Skip the TV-L1 solve while the temporal-loss gate is closed.  On
+        # --restore the resume step isn't known yet, so compute always
+        # (correctness over the saving; fresh runs start at step 0).
+        flow_from = 0 if args.restore else cfg.do_temp_loss_iter
         train_it = MultiHostPipeline(os.path.join(args.data, "train"), cfg,
                                      mesh, seed=args.seed,
-                                     compute_flow=args.compute_flow)
+                                     compute_flow=args.compute_flow,
+                                     flow_from_step=flow_from)
         test_it = (
             MultiHostPipeline(test_dir, cfg, mesh, seed=args.seed + 1,
                               compute_flow=args.compute_flow)
             if os.path.isdir(test_dir) else None
         )
     else:
+        flow_from = 0 if args.restore else cfg.do_temp_loss_iter
         train_it = InputPipeline(os.path.join(args.data, "train"), cfg,
                                  seed=args.seed,
-                                 compute_flow=args.compute_flow)
+                                 compute_flow=args.compute_flow,
+                                 flow_from_step=flow_from)
         test_it = (
             InputPipeline(test_dir, cfg, seed=args.seed + 1,
                           compute_flow=args.compute_flow)
@@ -150,6 +157,7 @@ def cmd_stabilize(args):
         start_with_stable=args.start_with_stable,
         random_black=args.random_black, deploy_vis=args.deploy_vis,
         output_size=tuple(args.output_size) if args.output_size else None,
+        collect_input_gray=args.metrics,
     )
     driver = StreamDriver(engine, opt)
 

@@ -98,8 +98,9 @@ def clips_to_examples(stable_u8: np.ndarray, unstable_u8: np.ndarray,
     """
     T = min(len(stable_u8), len(unstable_u8))
     span = max(cfg.indices)
+    lookahead = max(0, -min(cfg.indices))   # negative offsets read future frames
     examples = []
-    for pos in range(span + 1, T, stride):
+    for pos in range(span + 1, T - lookahead, stride):
         stable_ch = [stable_u8[base - i]
                      for base in (pos - 1, pos)
                      for i in cfg.indices if i >= 0]

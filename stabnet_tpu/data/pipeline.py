@@ -17,6 +17,7 @@ import threading
 from typing import Dict, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from stabnet_tpu.config import StabNetConfig
@@ -83,32 +84,32 @@ class InputPipeline:
 
     def __init__(self, path: str, cfg: StabNetConfig, seed: int = 0,
                  batch_size: Optional[int] = None, prefetch_depth: int = 2,
-                 shuffle: bool = True, compute_flow: bool = False):
+                 shuffle: bool = True, compute_flow: bool = False,
+                 flow_from_step: int = 0, start_step: int = 0):
         """`compute_flow=True` replaces (or supplies, for shards without a
         `flow` field) the record flow with on-device TV-L1 flow between the
         AUGMENTED stable pair — the estimate is consistent with the images by
         construction, where record flow must be warped alongside them
-        (reference warp_flow, get_data_mini_after.py:31-48)."""
+        (reference warp_flow, get_data_mini_after.py:31-48).
+
+        `flow_from_step` skips the TV-L1 solve for batches consumed before
+        that step (batch n feeds step `start_step + n` exactly, prefetch or
+        not) — the temporal loss that consumes flow is gated to zero until
+        `cfg.do_temp_loss_iter`, so computing it earlier is pure waste
+        (~120 ms/full-size batch)."""
         self.cfg = cfg
-
-        def aug(key, raw):
-            batch = augment.augment_batch(key, raw, cfg)
-            if compute_flow:
-                from stabnet_tpu.ops import flow as flow_ops
-
-                u = flow_ops.tvl1_flow(batch["y1"][..., 0], batch["y2"][..., 0])
-                batch["flow"] = flow_ops.flow_to_sampling(u)
-            return batch
-
-        aug_jit = jax.jit(aug)
+        aug_jit = jax.jit(make_aug_fn(cfg, compute_flow),
+                          static_argnames=("want_flow",))
 
         def device_batches():
             key = jax.random.PRNGKey(seed)
-            for raw in batch_iterator(path, cfg, batch_size=batch_size,
-                                      shuffle=shuffle, seed=seed):
+            for n, raw in enumerate(batch_iterator(path, cfg,
+                                                   batch_size=batch_size,
+                                                   shuffle=shuffle, seed=seed)):
                 raw = ensure_flow(raw, cfg, compute_flow)
                 key, sub = jax.random.split(key)
-                yield aug_jit(sub, augment.prepare_raw(raw))
+                yield aug_jit(sub, augment.prepare_raw(raw),
+                              want_flow=start_step + n >= flow_from_step)
 
         self._it = prefetch(device_batches(), depth=prefetch_depth)
 
@@ -117,6 +118,30 @@ class InputPipeline:
 
     def __next__(self):
         return next(self._it)
+
+
+def make_aug_fn(cfg: StabNetConfig, compute_flow: bool):
+    """The augment(+flow) closure shared by the single- and multi-host
+    pipelines, so their data semantics can never drift apart.
+
+    `want_flow` must be static under jit.  When False (temporal-loss gate
+    still closed), the heavy TV-L1 solve is skipped and the flow field is
+    the zero-motion sampling map, which the gated-to-zero temporal term
+    consumes harmlessly (train_step always reads batch["flow"])."""
+
+    def aug(key, raw, want_flow: bool = True):
+        batch = augment.augment_batch(key, raw, cfg)
+        if compute_flow:
+            from stabnet_tpu.ops import flow as flow_ops
+
+            if want_flow:
+                u = flow_ops.tvl1_flow(batch["y1"][..., 0], batch["y2"][..., 0])
+            else:
+                u = jnp.zeros(batch["y1"][..., 0].shape + (2,), jnp.float32)
+            batch["flow"] = flow_ops.flow_to_sampling(u)
+        return batch
+
+    return aug
 
 
 def ensure_flow(raw, cfg: StabNetConfig, compute_flow: bool):

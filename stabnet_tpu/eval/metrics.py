@@ -28,6 +28,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stabnet_tpu.ops.flow import tvl1_flow
 
@@ -146,9 +147,10 @@ def distortion_score(Hs: jax.Array) -> jax.Array:
 def cropping_score(Hs: jax.Array) -> jax.Array:
     """Retained-scale of the input->output mapping (higher = less cropping).
 
-    Per frame: sqrt(|det A|) of the affine part — the isotropic scale the
-    stabilizer applied (a stabilizer crops by zooming in, so scale < 1 means
-    content loss); the clip score is the mean over frames, clipped at 1.
+    Per frame: sqrt(|det A|) of the affine part — the isotropic scale of the
+    fitted input->output mapping (a stabilizer crops by zooming in, which
+    makes this scale > 1, so the score is 1/scale, clipped at 1); the clip
+    score is the mean over frames.
 
     Args:
       Hs: (T, 3, 3) per-frame input->output homographies.
@@ -165,20 +167,46 @@ def cropping_score(Hs: jax.Array) -> jax.Array:
 _FLOW_KW = (("fine_iters", 100),)
 
 
-@functools.partial(jax.jit, static_argnames=("flow_kwargs",))
-def _interframe_h(frames: jax.Array, flow_kwargs=_FLOW_KW) -> jax.Array:
-    """(T, H, W) gray frames -> (T-1, 3, 3) inter-frame homographies."""
-    u = tvl1_flow(frames[:-1], frames[1:], **dict(flow_kwargs))
-    src, dst = _grid_correspondences(u)
-    return fit_homographies(src, dst)
+# Frame pairs are processed in fixed-size chunks (padding the tail by
+# repeating the last pair) so the heavy TV-L1 program compiles ONCE, not once
+# per distinct clip length — a batch of mixed-length videos would otherwise
+# spend most of its wall time recompiling.  Spatial dims are already fixed
+# (model scale) by the callers.
+_EVAL_CHUNK = 32
 
 
 @functools.partial(jax.jit, static_argnames=("flow_kwargs",))
-def _crossvideo_h(a: jax.Array, b: jax.Array, flow_kwargs=_FLOW_KW) -> jax.Array:
-    """Per-frame homographies mapping video `a` frames to video `b` frames."""
+def _pairs_h_chunk(a: jax.Array, b: jax.Array,
+                   flow_kwargs=_FLOW_KW) -> jax.Array:
+    """(C, H, W) frame pairs -> (C, 3, 3) homographies mapping a -> b."""
     u = tvl1_flow(a, b, **dict(flow_kwargs))
     src, dst = _grid_correspondences(u)
     return fit_homographies(src, dst)
+
+
+def _pairs_h(a: jax.Array, b: jax.Array) -> jax.Array:
+    a = np.asarray(a)
+    b = np.asarray(b)
+    out = []
+    for s in range(0, a.shape[0], _EVAL_CHUNK):
+        ca, cb = a[s:s + _EVAL_CHUNK], b[s:s + _EVAL_CHUNK]
+        k = ca.shape[0]
+        if k < _EVAL_CHUNK:
+            reps = (_EVAL_CHUNK - k,) + (1,) * (ca.ndim - 1)
+            ca = np.concatenate([ca, np.tile(ca[-1:], reps)])
+            cb = np.concatenate([cb, np.tile(cb[-1:], reps)])
+        out.append(np.asarray(_pairs_h_chunk(ca, cb))[:k])
+    return jnp.asarray(np.concatenate(out))
+
+
+def _interframe_h(frames: jax.Array) -> jax.Array:
+    """(T, H, W) gray frames -> (T-1, 3, 3) inter-frame homographies."""
+    return _pairs_h(frames[:-1], frames[1:])
+
+
+def _crossvideo_h(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-frame homographies mapping video `a` frames to video `b` frames."""
+    return _pairs_h(a, b)
 
 
 def evaluate_clip(output_gray: jax.Array,

@@ -7,6 +7,7 @@ from stabnet_tpu.models.stabnet import (
     forward,
     init_variables,
     make_model,
+    scale_theta_head,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "forward",
     "init_variables",
     "make_model",
+    "scale_theta_head",
 ]

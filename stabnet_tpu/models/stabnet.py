@@ -93,3 +93,25 @@ def init_variables(model: StabNetRegressor, cfg: StabNetConfig, rng: jax.Array):
     # flax init issues thousands of small ops, which on a remote-attached
     # device (host<->TPU tunnel) costs minutes of round-trips.
     return jax.jit(lambda r: model.init(r, x, train=False))(rng)
+
+
+def scale_theta_head(variables, factor: float = 0.05):
+    """Scale the final theta layer so random-init warps have production magnitude.
+
+    A randomly initialized head emits O(1)-NDC mesh offsets — local stretch
+    ~20x anything a converged stabilizer produces (training drives theta
+    toward zero via id_loss).  Benchmarks and kernel sweeps use this so the
+    measured warp regime (window-guard tiers included) matches deployment.
+
+    Lives next to the model because the match keys on the Flax module names
+    ("head"/"out" in resnet.py) — a rename must update this, not silently
+    no-op four scattered copies.
+    """
+    hit = []
+    out = jax.tree_util.tree_map_with_path(
+        lambda p, a: (hit.append(p) or a * factor)
+        if "head" in str(p) and "out" in str(p) else a,
+        variables,
+    )
+    assert hit, "no head/out parameters matched — model naming changed?"
+    return out

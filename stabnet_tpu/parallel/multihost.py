@@ -111,7 +111,8 @@ class MultiHostPipeline:
     def __init__(self, path: str, cfg: StabNetConfig, mesh: Mesh,
                  seed: int = 0, global_batch_size: Optional[int] = None,
                  prefetch_depth: int = 2, shuffle: bool = True,
-                 compute_flow: bool = False):
+                 compute_flow: bool = False, flow_from_step: int = 0,
+                 start_step: int = 0):
         self.cfg = cfg
         self.mesh = mesh
         gbs = global_batch_size or cfg.batch_size
@@ -120,36 +121,35 @@ class MultiHostPipeline:
         shard = (jax.process_index(), jax.process_count())
         sharding = NamedSharding(mesh, P(cfg.mesh_data_axis))
 
-        def aug(key, raw):
-            batch = augment.augment_batch(key, raw, cfg)
-            if compute_flow:
-                # On-device TV-L1 between the augmented stable pair; batch-
-                # sharded like everything else (pure per-example math, no
-                # cross-chip dependence), so it scales with the mesh.
-                from stabnet_tpu.ops import flow as flow_ops
+        # The augment(+TV-L1 flow) body is shared with data.InputPipeline
+        # (make_aug_fn) so single- and multi-host training can never train on
+        # subtly different data; the flow solve is batch-sharded like
+        # everything else (pure per-example math), so it scales with the
+        # mesh, and is skipped while the temporal-loss gate is closed
+        # (`flow_from_step`, see InputPipeline).
+        from stabnet_tpu.data.pipeline import ensure_flow, make_aug_fn
 
-                u = flow_ops.tvl1_flow(batch["y1"][..., 0], batch["y2"][..., 0])
-                batch["flow"] = flow_ops.flow_to_sampling(u)
-            return batch
-
-        aug_jit = jax.jit(aug, in_shardings=(None, sharding),
-                          out_shardings=sharding)
+        # want_flow is passed positionally: pjit rejects kwargs when
+        # in_shardings is given.
+        aug_jit = jax.jit(make_aug_fn(cfg, compute_flow),
+                          in_shardings=(None, sharding),
+                          out_shardings=sharding,
+                          static_argnums=(2,))
 
         def device_batches():
             # Upload + augmentation dispatch inside the worker thread: batch
             # N+1's host->device transfer overlaps batch N's train step
             # (same structure as data.pipeline.InputPipeline).
-            from stabnet_tpu.data.pipeline import ensure_flow
-
             key = jax.random.PRNGKey(seed)
-            for local in batch_iterator(path, cfg, batch_size=self._local_bs,
-                                        shuffle=shuffle, seed=seed,
-                                        shard=shard):
+            for n, local in enumerate(batch_iterator(path, cfg,
+                                                     batch_size=self._local_bs,
+                                                     shuffle=shuffle, seed=seed,
+                                                     shard=shard)):
                 local = ensure_flow(local, cfg, compute_flow)
                 local = augment.prepare_raw(local)
                 batch = form_global_batch(local, mesh, cfg.mesh_data_axis)
                 key, sub = jax.random.split(key)
-                yield aug_jit(sub, batch)
+                yield aug_jit(sub, batch, start_step + n >= flow_from_step)
 
         self._it: Iterator = prefetch(device_batches(), depth=prefetch_depth)
 

@@ -36,6 +36,8 @@ class DeployOptions:
     random_black: Optional[int] = None
     deploy_vis: bool = False
     output_size: Optional[Tuple[int, int]] = None  # (H, W); None = source size
+    collect_input_gray: bool = False  # retain model-scale inputs in ClipResult
+                                      # (O(T) host memory; `stabilize --metrics`)
 
 
 @dataclasses.dataclass
@@ -85,8 +87,11 @@ class StreamDriver:
 
         out_hw = opt.output_size or unstable.shape[1:3]
         out_frames: List[np.ndarray] = [self._resize_color(first, out_hw)]
-        in_grays: List[np.ndarray] = [
-            video_io.to_gray_train(unstable[0], cfg.height, cfg.width, 1.0)]
+        # Retaining every model-scale input costs O(T) host memory; only the
+        # quality-metrics path wants them.
+        in_grays: Optional[List[np.ndarray]] = (
+            [video_io.to_gray_train(unstable[0], cfg.height, cfg.width, 1.0)]
+            if opt.collect_input_gray else None)
         vis_frames: List[np.ndarray] = []
         tot_net = 0.0
 
@@ -113,7 +118,8 @@ class StreamDriver:
         for t in range(1, T):
             frame = unstable[t]
             cur_gray = video_io.to_gray_train(frame, cfg.height, cfg.width, 1.0)
-            in_grays.append(cur_gray)
+            if in_grays is not None:
+                in_grays.append(cur_gray)
             # --random-black occludes the STABLE train frame that feeds the
             # history under --infer-with-stable (deploy_bundle.py:249-256) —
             # a robustness test of the history channels, not of the current
@@ -188,7 +194,7 @@ class StreamDriver:
             all_black=all_black,
             fps_net=fps_net,
             vis=np.stack(vis_frames) if vis_frames else None,
-            input_gray=np.stack(in_grays),
+            input_gray=np.stack(in_grays) if in_grays is not None else None,
         )
 
     # -- file interface (reference CLI behavior) -----------------------------

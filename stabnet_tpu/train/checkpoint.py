@@ -84,6 +84,15 @@ def transfer_from_imagenet(variables: Any, trunk_params: Any,
         if src is None:
             continue
         trunk = variables[collection]["resnet_v2_50"]
+        # Both directions must fail loudly: extra pretrained keys mean the
+        # wrong checkpoint; MISSING ones would silently leave model blocks
+        # randomly initialized (a truncated/smaller-resnet checkpoint).
+        missing = set(trunk) - set(src) - {"conv1"}
+        if missing:
+            raise KeyError(
+                f"pretrained checkpoint lacks {collection} for model trunk "
+                f"unit(s) {sorted(missing)}; wrong checkpoint?"
+            )
         for key, value in src.items():
             if key == "conv1":
                 continue  # 13-channel stem stays randomly initialized

@@ -75,3 +75,10 @@ def test_transfer_from_imagenet_grafts_trunk_not_stem(tmp_path):
     bad["block1_unit1"]["conv1"]["kernel"] = jnp.zeros((1, 1, 7, 7))
     with pytest.raises(ValueError, match="shape mismatch"):
         ckpt.transfer_from_imagenet(variables, bad)
+
+    # A truncated checkpoint (missing model trunk units) must also fail
+    # loudly, not silently leave those blocks randomly initialized.
+    truncated = dict(pretrained)
+    del truncated["block3_unit2"]
+    with pytest.raises(KeyError, match="lacks"):
+        ckpt.transfer_from_imagenet(variables, truncated)

@@ -126,3 +126,31 @@ def test_pipeline_computes_flow_for_flowless_shards(tmp_path):
     both = next(iter(InputPipeline(with_flow, cfg, batch_size=2, shuffle=False,
                                    seed=5, compute_flow=True)))
     np.testing.assert_allclose(np.asarray(both["flow"]), f_got)
+
+
+def test_pipeline_skips_flow_until_gate_step(tmp_path):
+    """flow_from_step: batches before the temporal gate carry the zero-motion
+    map (no TV-L1 solve); from the gate step on, the real estimate."""
+    from stabnet_tpu.data.pipeline import InputPipeline
+    from stabnet_tpu.data.records import write_shards
+    from stabnet_tpu.data.synthetic import make_raw_example
+
+    cfg = TINY
+    examples = [make_raw_example(cfg, seed=i) for i in range(4)]
+    d = str(tmp_path / "shards")
+    write_shards(d, examples, shard_size=4)
+
+    gated = iter(InputPipeline(d, cfg, batch_size=2, shuffle=False, seed=5,
+                               compute_flow=True, flow_from_step=1))
+    b0, b1 = next(gated), next(gated)
+    # Batch 0 (consumed at step 0 < 1): identity sampling map == the map the
+    # zero displacement field produces.
+    ident = np.asarray(flow_to_sampling(jnp.zeros((2, cfg.height, cfg.width, 2))))
+    np.testing.assert_allclose(np.asarray(b0["flow"]), ident, atol=1e-6)
+    # Batch 1 (step 1 >= 1): the real TV-L1 flow, same as an ungated pipeline's
+    # second batch (same seed => same augmentation stream).
+    ref = iter(InputPipeline(d, cfg, batch_size=2, shuffle=False, seed=5,
+                             compute_flow=True))
+    next(ref)
+    np.testing.assert_allclose(np.asarray(b1["flow"]),
+                               np.asarray(next(ref)["flow"]), atol=1e-6)
