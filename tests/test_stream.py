@@ -65,6 +65,11 @@ def test_stream_driver_end_to_end():
     assert 0 <= t <= b < CFG.height and 0 <= l <= r < CFG.width
     assert res.cropped.shape[0] == 8
     assert np.isfinite(res.fps_net)
+    # Model-scale inputs are retained only on request (O(T) host memory).
+    assert res.input_gray is None
+    res2 = StreamDriver(engine, DeployOptions(collect_input_gray=True)
+                        ).stabilize_clip(clip)
+    assert res2.input_gray.shape == (8, CFG.height, CFG.width)
 
 
 def test_stream_driver_refine_and_vis():
