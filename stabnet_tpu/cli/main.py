@@ -20,6 +20,23 @@ import os
 import sys
 
 
+def _honor_jax_platforms_env() -> None:
+    """Re-apply the user's explicit JAX_PLATFORMS choice.
+
+    Site PJRT plugins may force their own platform list at import time,
+    overriding the documented JAX_PLATFORMS env-var semantics; a user who
+    set JAX_PLATFORMS=cpu then silently runs (or blocks) on the plugin's
+    backend.  Restoring the env value before any backend initializes keeps
+    the CLI's platform selection portable.
+    """
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+
+
 def _load_variables(model, cfg, tf_checkpoint=None, model_dir=None,
                     what="using"):
     """Resolve model variables from --tf-checkpoint / --model-dir / random.
@@ -339,6 +356,7 @@ def cmd_make_synthetic(args):
 
 
 def main(argv=None):
+    _honor_jax_platforms_env()
     parser = argparse.ArgumentParser(prog="stabnet-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
