@@ -151,7 +151,8 @@ def cmd_train(args):
         )
     train(cfg, iter(train_it), test_it and iter(test_it), restore=args.restore,
           num_steps=args.steps, use_mesh=args.data_parallel, seed=args.seed,
-          debug_vis=args.debug_vis, imagenet_ckpt=args.imagenet_ckpt)
+          debug_vis=args.debug_vis, imagenet_ckpt=args.imagenet_ckpt,
+          tensorboard=args.tensorboard)
 
 
 def cmd_stabilize(args):
@@ -371,6 +372,10 @@ def main(argv=None):
                         "transfer (train_bundle_nobm.py:184-191 equivalent)")
     p.add_argument("--debug-vis", action="store_true",
                    help="dump per-eval debug mosaics (save_warpped_features equivalent)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics (and --debug-vis mosaics) to "
+                        "TensorBoard event files under <log-dir>/tb "
+                        "(reference observability, train_bundle_nobm.py:128-153)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--compute-flow", action="store_true",

@@ -26,22 +26,46 @@ logger = get_logger()
 
 
 class MetricsWriter:
-    """Scalar metrics to a JSONL file (stands in for TensorBoard scalars;
-    reference: train_bundle_nobm.py:143-153)."""
+    """Scalar metrics to a JSONL file, optionally mirrored to TensorBoard.
 
-    def __init__(self, log_dir: str):
+    JSONL (`log_dir/metrics.jsonl`) is the primary machine-readable artifact;
+    with `tensorboard=True` the same scalars — and the debug mosaics — are
+    also written as event files under `log_dir/tb`, the reference's
+    observability plane (train_bundle_nobm.py:128-153)."""
+
+    def __init__(self, log_dir: str, tensorboard: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except ImportError:
+                logger.warning(
+                    "tensorboard writer unavailable; scalars go to JSONL only")
 
     def write(self, step: int, tag: str, values: Dict[str, float]):
         import json
 
         self._f.write(json.dumps({"step": step, "tag": tag, **values}) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in values.items():
+                self._tb.add_scalar(f"{tag}/{k}", v, step)
+
+    def add_image(self, step: int, tag: str, image_bgr: np.ndarray):
+        """Log an (H, W, 3) uint8 BGR image (no-op without TensorBoard)."""
+        if self._tb is not None:
+            self._tb.add_image(tag, image_bgr[..., ::-1], step,
+                               dataformats="HWC")
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def train(cfg: StabNetConfig,
@@ -52,7 +76,8 @@ def train(cfg: StabNetConfig,
           use_mesh: bool = False,
           seed: int = 0,
           debug_vis: bool = False,
-          imagenet_ckpt: Optional[str] = None):
+          imagenet_ckpt: Optional[str] = None,
+          tensorboard: bool = False):
     """Run training; returns the final TrainState.
 
     Args:
@@ -86,7 +111,7 @@ def train(cfg: StabNetConfig,
     mesh = data_mesh() if use_mesh else None
     step_fn = make_train_step(model, cfg, mesh=mesh)
     eval_fn = make_eval_step(model, cfg, mesh=mesh)
-    metrics = MetricsWriter(cfg.log_dir)
+    metrics = MetricsWriter(cfg.log_dir, tensorboard=tensorboard)
     timers = StageTimer()
 
     def to_mesh(batch):
@@ -128,8 +153,10 @@ def train(cfg: StabNetConfig,
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             out1 = stabnet.forward(
                 model, variables, batch["x1"], cfg, train=False)
-            save_debug_batch(os.path.join(cfg.log_dir, "debug"), batch, out1,
-                             cfg, i)
+            mosaics = save_debug_batch(os.path.join(cfg.log_dir, "debug"),
+                                       batch, out1, cfg, i)
+            if mosaics:
+                metrics.add_image(i, "debug/mosaic", mosaics[0])
 
         if test_batches is not None and (i % cfg.test_freq == 0 or i == total - 1):
             losses = []

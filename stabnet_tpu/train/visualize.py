@@ -47,7 +47,7 @@ def _draw_points(img: np.ndarray, pts_ndc: np.ndarray, mask: np.ndarray,
 def save_debug_batch(out_dir: str, batch: Dict[str, np.ndarray],
                      outputs, cfg: StabNetConfig, step: int,
                      max_examples: int = 4,
-                     warped_pts: Optional[np.ndarray] = None) -> None:
+                     warped_pts: Optional[np.ndarray] = None):
     """Write debug mosaics for up to `max_examples` of a Siamese batch.
 
     Args:
@@ -55,12 +55,16 @@ def save_debug_batch(out_dir: str, batch: Dict[str, np.ndarray],
       outputs: StabNetOutput for branch 1 (x1).
       warped_pts: optional (B, N, 2) `warp_pts` gather of the maps at the
         stable match locations.
+
+    Returns:
+      The list of mosaic images written ((2H, 2W, 3) uint8 BGR each), so the
+      caller can forward them to other sinks (e.g. TensorBoard).
     """
     try:
         import cv2
     except ImportError:
         logger.warning("cv2 unavailable; skipping debug dump")
-        return
+        return []
     os.makedirs(out_dir, exist_ok=True)
 
     x1 = np.asarray(batch["x1"])
@@ -71,6 +75,7 @@ def save_debug_batch(out_dir: str, batch: Dict[str, np.ndarray],
     Hs = np.asarray(outputs.warp.Hs)
 
     B = min(x1.shape[0], max_examples)
+    mosaics = []
     for b in range(B):
         stable = _draw_points(_to_u8(y1[b]), matches[b, :, :2], mask[b],
                               (0, 0, 255))
@@ -84,6 +89,7 @@ def save_debug_batch(out_dir: str, batch: Dict[str, np.ndarray],
         top = np.concatenate([stable, net], axis=1)
         bottom = np.concatenate([err.astype(np.uint8), unstable], axis=1)
         mosaic = np.concatenate([top, bottom], axis=0)
+        mosaics.append(mosaic)
         cv2.imwrite(os.path.join(out_dir, f"step{step:06d}-ex{b}.jpg"), mosaic)
         np.savetxt(os.path.join(out_dir, f"step{step:06d}-ex{b}-Hs.txt"),
                    Hs[b].reshape(-1, 9))
@@ -93,3 +99,4 @@ def save_debug_batch(out_dir: str, batch: Dict[str, np.ndarray],
         cv2.imwrite(os.path.join(out_dir, f"step{step:06d}-x1-ch{c}.jpg"),
                     _to_u8(x1[0, :, :, c]))
     logger.info("wrote debug dump for step %d to %s", step, out_dir)
+    return mosaics

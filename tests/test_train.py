@@ -116,3 +116,40 @@ def test_losses_pallas_path_matches_xla():
     # (where they reach ~17 in magnitude) agree to ~2e-3 relative.
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3 * max(
         1e-3, max(jax.tree_util.tree_leaves(ref)))
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    """--tensorboard mirrors JSONL scalars and mosaics into TB event files."""
+    from tensorboard.backend.event_processing import event_accumulator
+
+    from stabnet_tpu.train.loop import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), tensorboard=True)
+    assert w._tb is not None
+    w.write(7, "train", {"total": 0.5, "img1": 0.25})
+    w.add_image(7, "debug/mosaic", np.zeros((8, 8, 3), np.uint8))
+    w.close()
+
+    acc = event_accumulator.EventAccumulator(
+        str(tmp_path / "tb"),
+        size_guidance={event_accumulator.SCALARS: 0,
+                       event_accumulator.IMAGES: 0})
+    acc.Reload()
+    scalars = {t: acc.Scalars(t) for t in acc.Tags()["scalars"]}
+    assert scalars["train/total"][0].step == 7
+    assert scalars["train/total"][0].value == 0.5
+    assert "train/img1" in scalars
+    assert "debug/mosaic" in acc.Tags()["images"]
+    # JSONL is still the primary artifact.
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_metrics_writer_no_tensorboard(tmp_path):
+    """Default writer: JSONL only; add_image is a no-op."""
+    from stabnet_tpu.train.loop import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.write(0, "train", {"total": 1.0})
+    w.add_image(0, "debug/mosaic", np.zeros((4, 4, 3), np.uint8))
+    w.close()
+    assert not (tmp_path / "tb").exists()
