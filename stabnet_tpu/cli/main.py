@@ -119,31 +119,39 @@ def cmd_train(args):
     import jax
 
     test_dir = os.path.join(args.data, "test")
+    # The resume step feeds the pipelines twice over: the TV-L1 solve is
+    # skipped while the temporal-loss gate is closed (flow_from_step), and
+    # the shuffle/augmentation streams are decorrelated so a restored
+    # segment continues with fresh batches instead of replaying the head
+    # (essential for save/restore chains, scripts/train_chain.sh).
+    resume_step = 0
+    if args.restore:
+        from stabnet_tpu.train.checkpoint import latest_step
+
+        resume_step = latest_step(cfg.model_dir) or 0
+    flow_from = cfg.do_temp_loss_iter
     if args.data_parallel and jax.process_count() > 1:
         # Multi-host: each process reads its disjoint stream shard and feeds
         # its local chips; batches arrive globally sharded over the mesh.
         from stabnet_tpu.parallel import MultiHostPipeline, data_mesh
 
         mesh = data_mesh()
-        # Skip the TV-L1 solve while the temporal-loss gate is closed.  On
-        # --restore the resume step isn't known yet, so compute always
-        # (correctness over the saving; fresh runs start at step 0).
-        flow_from = 0 if args.restore else cfg.do_temp_loss_iter
         train_it = MultiHostPipeline(os.path.join(args.data, "train"), cfg,
                                      mesh, seed=args.seed,
                                      compute_flow=args.compute_flow,
-                                     flow_from_step=flow_from)
+                                     flow_from_step=flow_from,
+                                     start_step=resume_step)
         test_it = (
             MultiHostPipeline(test_dir, cfg, mesh, seed=args.seed + 1,
                               compute_flow=args.compute_flow)
             if os.path.isdir(test_dir) else None
         )
     else:
-        flow_from = 0 if args.restore else cfg.do_temp_loss_iter
         train_it = InputPipeline(os.path.join(args.data, "train"), cfg,
                                  seed=args.seed,
                                  compute_flow=args.compute_flow,
-                                 flow_from_step=flow_from)
+                                 flow_from_step=flow_from,
+                                 start_step=resume_step)
         test_it = (
             InputPipeline(test_dir, cfg, seed=args.seed + 1,
                           compute_flow=args.compute_flow)

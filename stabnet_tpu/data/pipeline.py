@@ -96,16 +96,23 @@ class InputPipeline:
         that step (batch n feeds step `start_step + n` exactly, prefetch or
         not) — the temporal loss that consumes flow is gated to zero until
         `cfg.do_temp_loss_iter`, so computing it earlier is pure waste
-        (~120 ms/full-size batch)."""
+        (~120 ms/full-size batch).
+
+        `start_step` (the restored step when resuming) is also folded into
+        the shuffle order and the augmentation key chain: a resumed run
+        continues with a fresh stream rather than replaying the same
+        batches/augmentations from the head — essential when a long run is
+        chained as save/restore segments (scripts/train_chain.sh)."""
         self.cfg = cfg
         aug_jit = jax.jit(make_aug_fn(cfg, compute_flow),
                           static_argnames=("want_flow",))
 
         def device_batches():
-            key = jax.random.PRNGKey(seed)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
             for n, raw in enumerate(batch_iterator(path, cfg,
                                                    batch_size=batch_size,
-                                                   shuffle=shuffle, seed=seed)):
+                                                   shuffle=shuffle,
+                                                   seed=seed + start_step)):
                 raw = ensure_flow(raw, cfg, compute_flow)
                 key, sub = jax.random.split(key)
                 yield aug_jit(sub, augment.prepare_raw(raw),

@@ -104,8 +104,11 @@ class MultiHostPipeline:
     processes: yields batches already sharded over `mesh`, augmented by one
     SPMD program (each chip augments only its local examples).
 
-    All hosts must construct it with the SAME seed (the shuffled order is the
-    cross-host contract that makes the residue classes disjoint).
+    All hosts must construct it with the SAME seed AND start_step (the
+    shuffled order is the cross-host contract that makes the residue classes
+    disjoint; start_step comes from the shared checkpoint, so a resumed run
+    agrees everywhere).  As in InputPipeline, start_step decorrelates the
+    stream so restored segments don't replay the head.
     """
 
     def __init__(self, path: str, cfg: StabNetConfig, mesh: Mesh,
@@ -140,10 +143,11 @@ class MultiHostPipeline:
             # Upload + augmentation dispatch inside the worker thread: batch
             # N+1's host->device transfer overlaps batch N's train step
             # (same structure as data.pipeline.InputPipeline).
-            key = jax.random.PRNGKey(seed)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
             for n, local in enumerate(batch_iterator(path, cfg,
                                                      batch_size=self._local_bs,
-                                                     shuffle=shuffle, seed=seed,
+                                                     shuffle=shuffle,
+                                                     seed=seed + start_step,
                                                      shard=shard)):
                 local = ensure_flow(local, cfg, compute_flow)
                 local = augment.prepare_raw(local)

@@ -55,6 +55,10 @@ class MetricsWriter:
         if self._tb is not None:
             for k, v in values.items():
                 self._tb.add_scalar(f"{tag}/{k}", v, step)
+            # Writes are disp_freq-paced (rare), so flush eagerly: a crashed
+            # run keeps its tail scalars instead of losing the buffered
+            # ~2 minutes (SummaryWriter default flush cadence).
+            self._tb.flush()
 
     def add_image(self, step: int, tag: str, image_bgr: np.ndarray):
         """Log an (H, W, 3) uint8 BGR image (no-op without TensorBoard)."""
@@ -126,50 +130,56 @@ def train(cfg: StabNetConfig,
     total = num_steps if num_steps is not None else cfg.training_iter
     start = int(state.step)
     aux = None
-    for i in range(start, total):
-        with timers.stage("data"):
-            batch = to_mesh(next(train_batches))
-        with timers.stage("step"):
-            state, aux = step_fn(state, batch)
+    try:
+        for i in range(start, total):
+            with timers.stage("data"):
+                batch = to_mesh(next(train_batches))
+            with timers.stage("step"):
+                state, aux = step_fn(state, batch)
 
-        if i % cfg.disp_freq == 0 or i == total - 1:
-            vals = {k: float(v) for k, v in aux.items()}
-            s = timers.summary()
-            logger.info(
-                "iter %d total=%.5f img=%.5f temp=%.5f (data %.1fms step %.1fms)",
-                i, vals["total"], vals.get("img1", 0.0), vals.get("temp", 0.0),
-                s.get("data", {}).get("mean_ms", 0.0),
-                s.get("step", {}).get("mean_ms", 0.0),
-            )
-            metrics.write(i, "train", vals)
-            timers.reset()
+            if i % cfg.disp_freq == 0 or i == total - 1:
+                vals = {k: float(v) for k, v in aux.items()}
+                s = timers.summary()
+                logger.info(
+                    "iter %d total=%.5f img=%.5f temp=%.5f (data %.1fms step %.1fms)",
+                    i, vals["total"], vals.get("img1", 0.0), vals.get("temp", 0.0),
+                    s.get("data", {}).get("mean_ms", 0.0),
+                    s.get("step", {}).get("mean_ms", 0.0),
+                )
+                metrics.write(i, "train", vals)
+                timers.reset()
 
-        if debug_vis and (i % cfg.test_freq == 0 or i == total - 1):
-            # Reference equivalent: save_warpped_features dumps
-            # (train_bundle_nobm.py:41-94,306,321).
-            from stabnet_tpu.models import stabnet
-            from stabnet_tpu.train.visualize import save_debug_batch
+            if debug_vis and (i % cfg.test_freq == 0 or i == total - 1):
+                # Reference equivalent: save_warpped_features dumps
+                # (train_bundle_nobm.py:41-94,306,321).
+                from stabnet_tpu.models import stabnet
+                from stabnet_tpu.train.visualize import save_debug_batch
 
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            out1 = stabnet.forward(
-                model, variables, batch["x1"], cfg, train=False)
-            mosaics = save_debug_batch(os.path.join(cfg.log_dir, "debug"),
-                                       batch, out1, cfg, i)
-            if mosaics:
-                metrics.add_image(i, "debug/mosaic", mosaics[0])
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+                out1 = stabnet.forward(
+                    model, variables, batch["x1"], cfg, train=False)
+                mosaics = save_debug_batch(os.path.join(cfg.log_dir, "debug"),
+                                           batch, out1, cfg, i)
+                if mosaics:
+                    metrics.add_image(i, "debug/mosaic", mosaics[0])
 
-        if test_batches is not None and (i % cfg.test_freq == 0 or i == total - 1):
-            losses = []
-            for _ in range(cfg.test_batches):
-                tb = to_mesh(next(test_batches))
-                ea = eval_fn(state, tb)
-                losses.append(float(ea["total"]))
-            test_loss = float(np.mean(losses))
-            logger.info("iter %d test_loss=%.5f", i, test_loss)
-            metrics.write(i, "test", {"total": test_loss})
+            if test_batches is not None and (i % cfg.test_freq == 0 or i == total - 1):
+                losses = []
+                for _ in range(cfg.test_batches):
+                    tb = to_mesh(next(test_batches))
+                    ea = eval_fn(state, tb)
+                    losses.append(float(ea["total"]))
+                test_loss = float(np.mean(losses))
+                logger.info("iter %d test_loss=%.5f", i, test_loss)
+                metrics.write(i, "test", {"total": test_loss})
 
-        if i > 0 and (i % cfg.save_freq == 0 or i == total - 1):
-            ckpt.save(cfg.model_dir, state)
+            # Always save at the final step (even step 0 of a 1-step run:
+            # save/restore chains rely on every segment ending checkpointed).
+            if (i > 0 and i % cfg.save_freq == 0) or i == total - 1:
+                ckpt.save(cfg.model_dir, state)
 
-    metrics.close()
+    finally:
+        # Flush partial metrics even when a step raises (e.g. the data
+        # iterator dying mid-run) so the tail diagnostics survive.
+        metrics.close()
     return state, aux

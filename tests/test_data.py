@@ -105,3 +105,24 @@ def test_augment_batch_batched():
     assert out["x1"].shape == (2, CFG.height, CFG.width, CFG.in_channels)
     # Different examples get different augmentation draws.
     assert not np.allclose(np.asarray(out["x1"][0]), np.asarray(out["x1"][1]))
+
+
+def test_pipeline_start_step_decorrelates(tmp_path):
+    """A resumed pipeline (start_step>0) continues with a fresh stream; the
+    same (seed, start_step) reproduces exactly — so save/restore chains
+    (scripts/train_chain.sh) never replay the stream head."""
+    from stabnet_tpu.data.pipeline import InputPipeline
+
+    path = str(tmp_path / "train")
+    write_synthetic_dataset(path, CFG, num_examples=6, shard_size=3)
+
+    def first_batch(start_step):
+        return np.asarray(
+            next(iter(InputPipeline(path, CFG, seed=0, batch_size=2,
+                                    start_step=start_step)))["x1"])
+
+    a = first_batch(0)
+    b = first_batch(100)
+    c = first_batch(0)
+    np.testing.assert_allclose(a, c)
+    assert not np.allclose(a, b)

@@ -120,7 +120,12 @@ def test_losses_pallas_path_matches_xla():
 
 def test_metrics_writer_tensorboard(tmp_path):
     """--tensorboard mirrors JSONL scalars and mosaics into TB event files."""
-    from tensorboard.backend.event_processing import event_accumulator
+    import pytest
+
+    pytest.importorskip("torch")
+    tb = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator")
+    event_accumulator = tb
 
     from stabnet_tpu.train.loop import MetricsWriter
 
@@ -153,3 +158,23 @@ def test_metrics_writer_no_tensorboard(tmp_path):
     w.add_image(0, "debug/mosaic", np.zeros((4, 4, 3), np.uint8))
     w.close()
     assert not (tmp_path / "tb").exists()
+
+
+def test_one_step_run_checkpoints_and_resumes(tmp_path):
+    """Even a 1-step segment ends checkpointed, and --restore continues from
+    it — the contract scripts/train_chain.sh relies on."""
+    import itertools
+
+    from stabnet_tpu.train import checkpoint as ckpt
+    from stabnet_tpu.train.loop import train as run_train
+
+    cfg = CFG.replace(model_dir=str(tmp_path / "m"),
+                      log_dir=str(tmp_path / "log"))
+    batches = itertools.cycle([make_batch(s) for s in range(3)])
+
+    run_train(cfg, batches, num_steps=1)
+    assert ckpt.latest_step(cfg.model_dir) == 1
+
+    state, _ = run_train(cfg, batches, restore=True, num_steps=2)
+    assert int(state.step) == 2
+    assert ckpt.latest_step(cfg.model_dir) == 2
