@@ -100,6 +100,9 @@ def _add_stabilize_args(p: argparse.ArgumentParser):
     p.add_argument("--config", default="v2_93")
     p.add_argument("--output-size", type=int, nargs=2, default=None,
                    metavar=("H", "W"))
+    p.add_argument("--from-export", default=None, metavar="ARTIFACT",
+                   help="serve from an `export` artifact (no model code or "
+                        "checkpoints; production path only)")
 
 
 def cmd_train(args):
@@ -168,21 +171,44 @@ def cmd_stabilize(args):
     from stabnet_tpu.models import make_model
     from stabnet_tpu.stream import DeployOptions, StreamDriver, StreamEngine
 
-    cfg = get_config(args.config)
-    model = make_model(cfg)
-    variables = _load_variables(model, cfg, args.tf_checkpoint, args.model_dir)
+    output_size = tuple(args.output_size) if args.output_size else None
+    if args.from_export:
+        # Serve from an AOT artifact: no model code or checkpoint plumbing.
+        from stabnet_tpu.stream.export import ExportedEngine, load_artifact
 
-    engine = StreamEngine(
-        model, variables, cfg, refine=args.refine,
-        out_hw=tuple(args.output_size) if args.output_size else None,
-    )
+        if (args.infer_with_stable or args.infer_with_last
+                or args.max_span > 1 or args.random_black is not None):
+            raise SystemExit(
+                "--from-export serves the production path; the history "
+                "ablations need a live engine (--model-dir/--tf-checkpoint)")
+        data, meta = load_artifact(args.from_export)
+        cfg = get_config(meta.get("config", args.config))
+        out_hw = meta.get("out_hw") or output_size
+        if out_hw is None:
+            raise SystemExit("artifact has no metadata; pass --output-size "
+                             "matching the exported shapes")
+        if meta.get("streams", 1) != 1:
+            raise SystemExit("stabilize serves one clip at a time; export "
+                             "with --streams 1 for this path")
+        engine = ExportedEngine(data, cfg, out_hw,
+                                streams=meta.get("streams", 1))
+        output_size = tuple(out_hw)
+    else:
+        cfg = get_config(args.config)
+        model = make_model(cfg)
+        variables = _load_variables(model, cfg, args.tf_checkpoint,
+                                    args.model_dir)
+        engine = StreamEngine(
+            model, variables, cfg, refine=args.refine,
+            out_hw=output_size,
+        )
     opt = DeployOptions(
         refine=args.refine, max_span=args.max_span,
         infer_with_stable=args.infer_with_stable,
         infer_with_last=args.infer_with_last,
         start_with_stable=args.start_with_stable,
         random_black=args.random_black, deploy_vis=args.deploy_vis,
-        output_size=tuple(args.output_size) if args.output_size else None,
+        output_size=output_size,
         collect_input_gray=args.metrics,
     )
     driver = StreamDriver(engine, opt)
@@ -311,8 +337,8 @@ def cmd_export(args):
 
     from stabnet_tpu.config import get_config
     from stabnet_tpu.models import make_model
-    from stabnet_tpu.stream.export import (export_stream_step,
-                                           initial_state, load_stream_step)
+    from stabnet_tpu.stream.export import (export_stream_step, initial_state,
+                                           load_stream_step, save_artifact)
 
     cfg = get_config(args.config)
     model = make_model(cfg)
@@ -322,8 +348,7 @@ def cmd_export(args):
     out_hw = tuple(args.output_size)
     data = export_stream_step(model, variables, cfg, out_hw,
                               streams=args.streams, refine=args.refine)
-    with open(args.out, "wb") as f:
-        f.write(data)
+    save_artifact(args.out, data, cfg, out_hw, args.streams, args.refine)
     print(f"exported {len(data) / 1e6:.1f} MB -> {args.out}")
 
     if args.selftest:

@@ -15,11 +15,38 @@ input-frame sampling locations.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# When True, `solve_dlt` uses the portable unrolled Gauss-Jordan solver
+# (`_solve8`) instead of `jnp.linalg.solve`.  Flip it with `portable_solve()`
+# while tracing computations that must deserialize cleanly via `jax.export`:
+# on CPU, `jnp.linalg.solve` lowers to LAPACK FFI custom calls that crash
+# when invoked from a deserialized artifact (jaxlib 0.9.0; stream/export.py).
+# It is NOT the default because the live streaming engine relies on the
+# solve being bit-identical between its two compilations (lax.scan clip path
+# vs straight-line step path, tests/test_stream_scan.py): an opaque solve
+# custom call guarantees that, while inlined elimination steps can round
+# differently per program — a near-tie pivot then flips, the two solutions
+# split at O(eps * cond), and the streaming history feedback amplifies the
+# split into visible pixels.
+_PORTABLE_SOLVE = False
+
+
+@contextlib.contextmanager
+def portable_solve():
+    """Trace `solve_dlt` with the export-safe elimination solver."""
+    global _PORTABLE_SOLVE
+    prev = _PORTABLE_SOLVE
+    _PORTABLE_SOLVE = True
+    try:
+        yield
+    finally:
+        _PORTABLE_SOLVE = prev
 
 
 def solve_dlt(src: jax.Array, dst: jax.Array, eps: float = 1e-4) -> jax.Array:
@@ -50,10 +77,51 @@ def solve_dlt(src: jax.Array, dst: jax.Array, eps: float = 1e-4) -> jax.Array:
 
     A = A + eps * jnp.eye(8, dtype=A.dtype)
     # The reference computes inv(A + eps I) @ b; a batched solve is the
-    # XLA-native equivalent (one fused batched LU kernel).
-    h = jnp.linalg.solve(A, b)[..., 0]                     # (..., 8)
+    # XLA-native equivalent (one fused batched LU kernel).  See
+    # `_PORTABLE_SOLVE` above for when the elimination solver is used instead.
+    if _PORTABLE_SOLVE:
+        h = _solve8(A, b[..., 0])                          # (..., 8)
+    else:
+        h = jnp.linalg.solve(A, b)[..., 0]                 # (..., 8)
     ones = jnp.ones(h.shape[:-1] + (1,), h.dtype)
     return jnp.concatenate([h, ones], axis=-1).reshape(h.shape[:-1] + (3, 3))
+
+
+def _solve8(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched 8x8 linear solve: Gauss-Jordan with partial pivoting.
+
+    Args:
+      A: (..., 8, 8) systems;  b: (..., 8) right-hand sides.
+
+    Returns:
+      (..., 8) solutions, matching LU-with-pivoting (LAPACK) to fp roundoff.
+    """
+    n = A.shape[-1]
+    batch = A.shape[:-2]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)        # (..., 8, 9)
+    M = M.reshape((-1, n, n + 1))
+    # The barriers pin fusion boundaries so programs embedding this solver
+    # compile each elimination step to a stable schedule (surrounding ops
+    # can't fuse in and change FMA contraction).  The materialized buffer is
+    # a tiny (N, 8, 9).
+    M = jax.lax.optimization_barrier(M)
+    rows = jnp.arange(n)
+    for k in range(n):                                     # static unroll
+        # Partial pivot: the largest |column k| entry among rows >= k.
+        col = jnp.abs(M[:, :, k])
+        col = jnp.where(rows[None, :] < k, -jnp.inf, col)
+        p = jnp.argmax(col, axis=1)                        # (N,)
+        # Swap rows k and p (gather with a per-batch permuted index).
+        idx = jnp.where(rows[None, :] == k, p[:, None],
+                        jnp.where(rows[None, :] == p[:, None], k, rows[None, :]))
+        M = jnp.take_along_axis(M, idx[:, :, None], axis=1)
+        # Normalize the pivot row, eliminate it from every other row.
+        piv = M[:, k, :] / M[:, k, k][:, None]             # (N, 9)
+        f = jnp.where(rows[None, :] == k, 0.0, M[:, :, k]) # (N, 8)
+        M = M - f[:, :, None] * piv[:, None, :]
+        M = jnp.where((rows == k)[None, :, None], piv[:, None, :], M)
+        M = jax.lax.optimization_barrier(M)
+    return M[:, :, n].reshape(batch + (n,))
 
 
 @functools.lru_cache(maxsize=None)

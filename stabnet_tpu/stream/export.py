@@ -72,10 +72,18 @@ def export_stream_step(model, variables, cfg: StabNetConfig,
     )
     gray = jax.ShapeDtypeStruct((S, cfg.height, cfg.width), jnp.float32)
     color = jax.ShapeDtypeStruct((S, Ho, Wo, 3), jnp.uint8)
-    exported = jax_export.export(
-        jax.jit(step),
-        platforms=list(platforms) if platforms else None,
-    )(state0, gray, color)
+    # Trace with the portable DLT solver: the default jnp.linalg.solve
+    # lowers to LAPACK FFI custom calls on CPU, which crash when invoked
+    # from a deserialized artifact (jaxlib 0.9.0).  The artifact is
+    # therefore a slightly different numeric path than the live engine —
+    # equal to it within solver roundoff (O(eps * cond) per homography).
+    from stabnet_tpu.ops.homography import portable_solve
+
+    with portable_solve():
+        exported = jax_export.export(
+            jax.jit(step),
+            platforms=list(platforms) if platforms else None,
+        )(state0, gray, color)
     return exported.serialize()
 
 
@@ -90,3 +98,85 @@ def load_stream_step(data: bytes):
 def initial_state(first_gray: np.ndarray, cfg: StabNetConfig):
     """Warm-up state for the serving process (frame 0 fills the ring)."""
     return _engine.init_state(jnp.asarray(first_gray), cfg)
+
+
+# -- self-describing artifact files -------------------------------------------
+
+_MAGIC = b"STBX1\n"
+
+
+def save_artifact(path: str, data: bytes, cfg: StabNetConfig,
+                  out_hw: Tuple[int, int], streams: int, refine: int) -> None:
+    """Write `data` with a small JSON header so a serving process can
+    reconstruct the run parameters (config name, baked shapes) from the file
+    alone — the reference's .meta files are similarly self-describing."""
+    import json
+
+    header = json.dumps({
+        "config": cfg.name,
+        "out_hw": [int(out_hw[0]), int(out_hw[1])],
+        "streams": int(streams),
+        "refine": int(refine),
+    }).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC + len(header).to_bytes(4, "little") + header + data)
+
+
+def load_artifact(path: str) -> Tuple[bytes, dict]:
+    """Read an artifact file -> (jax.export bytes, metadata dict).
+
+    Bare `jax.export` payloads (no header) load with empty metadata."""
+    import json
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[: len(_MAGIC)] != _MAGIC:
+        return blob, {}
+    n = int.from_bytes(blob[len(_MAGIC): len(_MAGIC) + 4], "little")
+    off = len(_MAGIC) + 4
+    meta = json.loads(blob[off: off + n])
+    return blob[off + n:], meta
+
+
+class ExportedEngine:
+    """StreamDriver-compatible engine backed by a serialized artifact.
+
+    Serves the production streaming path with no model code or checkpoint
+    plumbing — `stabilize --from-export`.  History-override ablations
+    (--infer-with-*/--max-span/--random-black) are development tools of the
+    live engine and are rejected here.  Color frames are resized on host to
+    the artifact's baked output size when the source size differs (the baked
+    step's input shapes are fixed).
+    """
+
+    def __init__(self, data: bytes, cfg: StabNetConfig,
+                 out_hw: Tuple[int, int], streams: int = 1):
+        self._fn = load_stream_step(data)
+        self.cfg = cfg
+        self.out_hw = (int(out_hw[0]), int(out_hw[1]))
+        self.streams = int(streams)
+
+    def init(self, first_gray: np.ndarray):
+        return initial_state(np.asarray(first_gray), self.cfg)
+
+    def step(self, state, cur_gray: np.ndarray, cur_color: np.ndarray,
+             history_override: Optional[np.ndarray] = None):
+        if history_override is not None:
+            raise ValueError(
+                "exported artifacts serve the production streaming path; "
+                "--infer-with-*/--max-span/--random-black need a live "
+                "engine (--model-dir/--tf-checkpoint)")
+        color = np.asarray(cur_color)
+        if color.shape[1:3] != self.out_hw:
+            color = np.stack([_resize_color_u8(c, self.out_hw) for c in color])
+        return self._fn(state, jnp.asarray(cur_gray), jnp.asarray(color))
+
+
+def _resize_color_u8(frame: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    from stabnet_tpu.stream import video_io
+
+    if video_io.HAVE_CV2:
+        import cv2
+
+        return cv2.resize(frame, (out_hw[1], out_hw[0]))
+    return video_io._resize_nearest(frame, *out_hw)

@@ -2,9 +2,11 @@
 
 The reference's serving artifact is the training .meta graph restored by
 name (deploy_bundle.py:45-56); ours is a jax.export StableHLO blob with
-weights baked in.  These tests check the round trip is lossless: a step run
-through the deserialized artifact matches the live engine bit-for-bit on the
-same inputs.
+weights baked in.  These tests check a step run through the deserialized
+artifact matches the live engine on the same inputs.  Matching is to solver
+roundoff, not bit-exact: the artifact is traced with the portable DLT
+solver (ops/homography.py `portable_solve`) because the live path's LAPACK
+custom calls crash when deserialized (jaxlib 0.9.0).
 """
 
 import jax
@@ -45,12 +47,15 @@ def test_export_roundtrip_matches_live_step():
                                     out_hw=OUT_HW, use_pallas=False)
     )(state0, jnp.asarray(gray), jnp.asarray(color))
 
-    np.testing.assert_array_equal(np.asarray(out1.warped_color),
-                                  np.asarray(out2.warped_color))
+    # +/-1 LSB / 1e-4: the artifact's portable DLT solver rounds differently
+    # than the live LAPACK solve (module docstring).
+    du8 = np.abs(np.asarray(out1.warped_color).astype(np.int32)
+                 - np.asarray(out2.warped_color).astype(np.int32))
+    assert du8.max() <= 1, du8.max()
     np.testing.assert_allclose(np.asarray(out1.x_map),
-                               np.asarray(out2.x_map), atol=1e-6)
+                               np.asarray(out2.x_map), atol=1e-4)
     np.testing.assert_allclose(np.asarray(state1.frames),
-                               np.asarray(state2.frames), atol=1e-6)
+                               np.asarray(state2.frames), atol=1e-4)
 
 
 def test_export_multistream_refine():
@@ -65,3 +70,50 @@ def test_export_multistream_refine():
     assert out.warped_color.dtype == jnp.uint8
     # the ring pointer advanced exactly once despite refine=2
     assert int(state.ptr) == int(initial_state(gray, CFG).ptr) + 1
+
+
+def test_artifact_file_and_exported_engine(tmp_path):
+    """save_artifact/load_artifact round-trip metadata; ExportedEngine drives
+    the full StreamDriver (the `stabilize --from-export` serving path) and
+    rejects the live-engine-only history ablations."""
+    import pytest
+
+    from stabnet_tpu.stream.driver import DeployOptions, StreamDriver
+    from stabnet_tpu.stream.export import (ExportedEngine, load_artifact,
+                                           save_artifact)
+
+    model, variables = _setup()
+    data = export_stream_step(model, variables, CFG, OUT_HW, streams=1)
+    path = str(tmp_path / "step.stbx")
+    save_artifact(path, data, CFG, OUT_HW, streams=1, refine=1)
+
+    blob, meta = load_artifact(path)
+    assert blob == data
+    assert meta == {"config": CFG.name, "out_hw": list(OUT_HW),
+                    "streams": 1, "refine": 1}
+
+    engine = ExportedEngine(blob, CFG, meta["out_hw"])
+    with pytest.raises(ValueError, match="production"):
+        engine.step(engine.init(np.zeros((1, CFG.height, CFG.width),
+                                         np.float32)),
+                    np.zeros((1, CFG.height, CFG.width), np.float32),
+                    np.zeros((1, *OUT_HW, 3), np.uint8),
+                    history_override=np.zeros(1, np.float32))
+
+    # Drive a real clip through the driver; source frames are deliberately a
+    # different size than the baked output (exercises the host resize).
+    from stabnet_tpu.data.synthetic import make_video
+
+    clip = np.stack(make_video(5, CFG.height + 8, CFG.width + 8, seed=1,
+                               jitter=2.0))
+    res = StreamDriver(engine, DeployOptions(output_size=OUT_HW)
+                       ).stabilize_clip(clip)
+    assert res.frames.shape == (5, *OUT_HW, 3)
+    assert np.isfinite(res.fps_net)
+
+    # Bare payloads (no header) still load, with empty metadata.
+    bare = str(tmp_path / "bare.bin")
+    with open(bare, "wb") as f:
+        f.write(data)
+    blob2, meta2 = load_artifact(bare)
+    assert blob2 == data and meta2 == {}

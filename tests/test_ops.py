@@ -56,6 +56,22 @@ class TestSolveDLT:
         got = q[:, :2] / q[:, 2:3]
         np.testing.assert_allclose(got, dst, atol=1e-3)
 
+    def test_portable_solver_matches_default(self):
+        """The export-path Gauss-Jordan solver (`portable_solve`) agrees
+        with the default LAPACK/LU path to solver roundoff on a batch of
+        mesh-like systems."""
+        from stabnet_tpu.ops.homography import portable_solve
+
+        src = np.array([[-1, -1], [0, -1], [-1, 0], [0, 0]], np.float32)
+        dst = src[None] + RNG.uniform(-0.3, 0.3, (64, 4, 2)).astype(np.float32)
+        srcs = jnp.broadcast_to(src, dst.shape)
+        H_default = np.asarray(solve_dlt(srcs, jnp.asarray(dst)))
+        with portable_solve():
+            H_portable = np.asarray(
+                jax.jit(solve_dlt)(srcs, jnp.asarray(dst)))
+        np.testing.assert_allclose(H_portable, H_default, rtol=2e-4,
+                                   atol=2e-5)
+
 
 class TestMeshToHomographies:
     @pytest.mark.parametrize("grid", [(4, 4), (2, 3)])
