@@ -103,6 +103,16 @@ def _add_stabilize_args(p: argparse.ArgumentParser):
     p.add_argument("--from-export", default=None, metavar="ARTIFACT",
                    help="serve from an `export` artifact (no model code or "
                         "checkpoints; production path only)")
+    p.add_argument("--batch", type=int, default=1, metavar="S",
+                   help="stabilize S clips concurrently via the on-device "
+                        "whole-clip scan (throughput mode; production path "
+                        "only)")
+    p.add_argument("--batch-chunk", type=int, default=None, metavar="T",
+                   help="scan the time axis in T-frame segments (bounded "
+                        "device memory for long clips)")
+    p.add_argument("--batch-sharded", action="store_true",
+                   help="shard the batch over all local devices "
+                        "(S divisible by device count)")
 
 
 def cmd_train(args):
@@ -214,6 +224,12 @@ def cmd_stabilize(args):
     driver = StreamDriver(engine, opt)
 
     videos = _read_video_lists(args.test_list)
+    if args.batch > 1:
+        if args.from_export:
+            raise SystemExit("--batch uses the live whole-clip scan; "
+                             "serve artifacts one clip at a time")
+        _stabilize_batched(args, driver, videos)
+        return
     failures = 0
     for name in videos:
         try:
@@ -240,6 +256,51 @@ def cmd_stabilize(args):
         except Exception as e:  # keep going; one bad clip must not kill the batch
             failures += 1
             print(f"error: {name}: {e}", file=sys.stderr)
+    if failures:
+        print(f"{failures}/{len(videos)} videos failed", file=sys.stderr)
+        sys.exit(1)
+
+
+def _stabilize_batched(args, driver, videos):
+    """--batch N: stabilize groups of N clips concurrently via the on-device
+    whole-clip scan (the bench.py throughput path as a serving mode)."""
+    import numpy as np
+
+    from stabnet_tpu.stream import video_io
+
+    failures = 0
+    for lo in range(0, len(videos), args.batch):
+        group = videos[lo : lo + args.batch]
+        clips, fps_list, names = [], [], []
+        for name in group:
+            try:
+                reader = video_io.VideoReader(
+                    os.path.join(args.prefix, "unstable", name))
+                clips.append(np.stack(list(reader)))
+                fps_list.append(reader.fps)
+                reader.close()
+                names.append(name)
+            except Exception as e:
+                failures += 1
+                print(f"error: {name}: {e}", file=sys.stderr)
+        if not clips:
+            continue
+        try:
+            results = driver.stabilize_batch(
+                clips, chunk=args.batch_chunk, sharded=args.batch_sharded)
+        except Exception as e:
+            failures += len(clips)
+            print(f"error: batch {names}: {e}", file=sys.stderr)
+            continue
+        prod = os.path.join(args.output_dir, "output")
+        os.makedirs(prod, exist_ok=True)
+        for name, fps, res in zip(names, fps_list, results):
+            driver._write_video(os.path.join(prod, name + ".avi"),
+                                res.frames, fps)
+            driver._write_video(os.path.join(prod, name + "_cut.avi"),
+                                res.cropped, fps)
+            print(f"{name}: {len(res.frames)} frames, batch fps={res.fps_net:.1f}, "
+                  f"crop={res.crop_rect}")
     if failures:
         print(f"{failures}/{len(videos)} videos failed", file=sys.stderr)
         sys.exit(1)

@@ -197,6 +197,122 @@ class StreamDriver:
             input_gray=np.stack(in_grays) if in_grays is not None else None,
         )
 
+    # -- batch serving (throughput mode) -------------------------------------
+    def stabilize_batch(self, clips: List[np.ndarray],
+                        chunk: Optional[int] = None,
+                        sharded: bool = False) -> List[ClipResult]:
+        """Stabilize S clips concurrently via the on-device whole-clip scan.
+
+        The production throughput mode: clips are padded to a common length
+        and scanned as S lock-step streams in ONE XLA program (the same path
+        bench.py measures at 642 fps/chip on a v5e).  Unequal lengths are
+        handled exactly — a per-stream validity mask freezes each clip's
+        ring buffers and crop accumulator at its true end, so results match
+        stabilizing each clip alone.
+
+        Args:
+          clips: list of (T_s, H, W, 3) uint8 frame arrays, T_s >= 2.
+          chunk: scan the time axis in segments of this many frames
+            (bounded device memory for long clips; the segment executable
+            is compiled once and reused — tails are padded with invalid
+            steps).  None = one scan over the whole padded length.
+          sharded: shard the S clips over all local devices (S must be
+            divisible by the device count; incompatible with `chunk`).
+
+        History-ablation options (--infer-with-*/--max-span/--random-black)
+        and --deploy-vis need the frame-at-a-time live loop and are rejected.
+        """
+        cfg, opt = self.cfg, self.opt
+        if (opt.infer_with_stable or opt.infer_with_last or opt.max_span > 1
+                or opt.random_black is not None or opt.deploy_vis):
+            raise ValueError(
+                "batch mode serves the production path; history ablations "
+                "and --deploy-vis need the per-frame loop (drop --batch)")
+        if sharded and chunk is not None:
+            raise ValueError("--batch-chunk is a single-device path; "
+                             "use one of chunk/sharded")
+        S = len(clips)
+        assert S >= 1 and all(len(c) >= 2 for c in clips)
+        lengths = [len(c) for c in clips]
+        T = max(lengths)
+
+        out_hw = opt.output_size or tuple(clips[0].shape[1:3])
+        grays = np.zeros((S, T, cfg.height, cfg.width), np.float32)
+        colors = np.zeros((S, T, *out_hw, 3), np.uint8)
+        # Frames 1..T-1 are scanned; valid[s, t-1] <=> t < T_s (a prefix).
+        valid = np.zeros((S, T - 1), bool)
+        for s, clip in enumerate(clips):
+            for t in range(lengths[s]):
+                grays[s, t] = video_io.to_gray_train(
+                    clip[t], cfg.height, cfg.width,
+                    cfg.crop_rate if t == 0 else 1.0)
+                colors[s, t] = self._resize_color(clip[t], out_hw)
+            # Padded steps repeat the last real frame; their state writes are
+            # masked out, the compute is lock-step overhead only.
+            grays[s, lengths[s]:] = grays[s, lengths[s] - 1]
+            colors[s, lengths[s]:] = colors[s, lengths[s] - 1]
+            valid[s, : lengths[s] - 1] = True
+
+        t0 = time.perf_counter()
+        if chunk is None:
+            if sharded:
+                warped, state = self.engine.stabilize_clips_sharded(
+                    grays, colors, valid=valid)
+            else:
+                warped, state = self.engine.stabilize_clip(grays, colors,
+                                                           valid=valid)
+            warped_np = np.asarray(warped)          # (S, T-1, Ho, Wo, 3)
+        else:
+            # Fixed-size segments, tail padded with invalid steps so every
+            # segment runs the SAME compiled executable.
+            steps = T - 1
+            n_seg = -(-steps // chunk)
+            pad = n_seg * chunk - steps
+            if pad:
+                grays = np.concatenate(
+                    [grays, np.repeat(grays[:, -1:], pad, axis=1)], axis=1)
+                colors = np.concatenate(
+                    [colors, np.repeat(colors[:, -1:], pad, axis=1)], axis=1)
+                valid = np.concatenate(
+                    [valid, np.zeros((S, pad), bool)], axis=1)
+            state = self.engine.init(grays[:, 0])
+            segs = []
+            for k in range(n_seg):
+                lo, hi = 1 + k * chunk, 1 + (k + 1) * chunk
+                w, state = self.engine.continue_clip(
+                    state, grays[:, lo:hi], colors[:, lo:hi],
+                    valid=valid[:, lo - 1 : hi - 1])
+                segs.append(np.asarray(w))
+            warped_np = np.concatenate(segs, axis=1)[:, :steps]
+        all_black = np.asarray(state.all_black)
+        elapsed = time.perf_counter() - t0
+        total_frames = sum(lengths) - S
+        fps = total_frames / elapsed if elapsed > 0 else float("inf")
+
+        results = []
+        sy = out_hw[0] / cfg.height
+        sx = out_hw[1] / cfg.width
+        for s, clip in enumerate(clips):
+            frames_arr = np.concatenate(
+                [self._resize_color(clip[0], out_hw)[None],
+                 warped_np[s, : lengths[s] - 1]])
+            rect = max_clear_rect(all_black[s])
+            top, left, bot, right = rect
+            cropped = frames_arr[
+                :,
+                int(np.ceil(top * sy)) : int(np.floor((bot + 1) * sy)),
+                int(np.ceil(left * sx)) : int(np.floor((right + 1) * sx)),
+                :,
+            ]
+            results.append(ClipResult(
+                frames=frames_arr, cropped=cropped, crop_rect=rect,
+                all_black=all_black[s], fps_net=fps,
+                input_gray=(np.stack([
+                    video_io.to_gray_train(f, cfg.height, cfg.width, 1.0)
+                    for f in clip]) if opt.collect_input_gray else None),
+            ))
+        return results
+
     # -- file interface (reference CLI behavior) -----------------------------
     def stabilize_file(self, unstable_path: str, output_dir: str,
                        stable_path: Optional[str] = None) -> ClipResult:

@@ -241,11 +241,81 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
     )
 
 
+def scan_frames(model, variables, state: StreamState, clip_gray: jax.Array,
+                clip_color: jax.Array, cfg: StabNetConfig,
+                refine: int = 1,
+                out_hw: Optional[Tuple[int, int]] = None,
+                use_pallas: bool = False,
+                valid: Optional[jax.Array] = None
+                ) -> Tuple[jax.Array, StreamState]:
+    """Process T' frames per stream as one on-device lax.scan (no warm-up).
+
+    The continuation primitive behind `stabilize_clip_device` and the
+    chunked batch-serving path: `state` carries the ring buffers across
+    calls, so a long clip can be scanned in bounded-HBM segments.
+
+    Args:
+      clip_gray: (S, T', H, W) model-scale gray frames, ALL processed.
+      clip_color: (S, T', Hf, Wf, 3) uint8 full-res frames.
+      valid: optional (S, T') bool.  Where False, the stream's state rows
+        (ring buffers, crop accumulator) are left untouched and its output
+        for that step is garbage to be discarded by the caller.  Validity
+        must be a per-stream PREFIX (once False, False for the rest of the
+        scan) — it models clips of unequal length padded to a common T',
+        with each clip's crop accumulation frozen exactly at its true end.
+        None compiles the mask away entirely.
+
+    Returns:
+      (warped, final_state): warped (S, T', Ho, Wo, 3) uint8.
+    """
+    out_hw = out_hw or (clip_color.shape[2], clip_color.shape[3])
+
+    def body(state, xs):
+        if valid is None:
+            cur_gray, cur_color = xs
+        else:
+            cur_gray, cur_color, v = xs
+        new_state, out = stream_step(
+            model, variables, state, cur_gray, cur_color, cfg,
+            refine=refine, out_hw=out_hw, use_pallas=use_pallas,
+            color_channels_first=use_pallas,
+        )
+        if valid is not None:
+            keep = v[:, None, None]
+            new_state = StreamState(
+                frames=jnp.where(keep[..., None], new_state.frames,
+                                 state.frames),
+                masks=jnp.where(keep[..., None], new_state.masks,
+                                state.masks),
+                ptr=new_state.ptr,  # lock-step scalar; safe because a
+                                    # stream's validity is a prefix — a
+                                    # frozen stream never resumes
+                all_black=jnp.where(keep, new_state.all_black,
+                                    state.all_black),
+            )
+        return new_state, out.warped_color
+
+    color_seq = jnp.moveaxis(clip_color, 1, 0)         # (T', S, Hf, Wf, 3)
+    if use_pallas:
+        # One whole-clip transpose to channels-first uint8: the per-frame
+        # kernel then DMAs uint8 windows directly (no in-loop layout change).
+        color_seq = jnp.moveaxis(color_seq, -1, 2)     # (T', S, 3, Hf, Wf)
+    xs = (
+        jnp.moveaxis(clip_gray, 1, 0),                 # (T', S, H, W)
+        color_seq,
+    )
+    if valid is not None:
+        xs = xs + (jnp.moveaxis(valid.astype(bool), 1, 0),)  # (T', S)
+    final_state, warped = jax.lax.scan(body, state, xs)
+    return jnp.moveaxis(warped, 0, 1), final_state
+
+
 def stabilize_clip_device(model, variables, clip_gray: jax.Array,
                           clip_color: jax.Array, cfg: StabNetConfig,
                           refine: int = 1,
                           out_hw: Optional[Tuple[int, int]] = None,
-                          use_pallas: bool = False
+                          use_pallas: bool = False,
+                          valid: Optional[jax.Array] = None
                           ) -> Tuple[jax.Array, StreamState]:
     """Stabilize whole clips with the per-frame loop as an on-device lax.scan.
 
@@ -260,35 +330,17 @@ def stabilize_clip_device(model, variables, clip_gray: jax.Array,
       clip_gray: (S, T, H, W) model-scale gray frames (frame 0 warms up the
         history; frames 1..T-1 are processed).
       clip_color: (S, T, Hf, Wf, 3) uint8 full-res frames.
+      valid: optional (S, T-1) prefix validity for frames 1..T-1 (see
+        `scan_frames`) for batches of unequal-length clips.
 
     Returns:
       (warped, final_state): warped (S, T-1, Ho, Wo, 3) uint8 stabilized
       frames; final_state carries the accumulated black map for cropping.
     """
-    S, T = clip_gray.shape[:2]
-    out_hw = out_hw or (clip_color.shape[2], clip_color.shape[3])
     state0 = init_state(clip_gray[:, 0], cfg)
-
-    def body(state, xs):
-        cur_gray, cur_color = xs
-        new_state, out = stream_step(
-            model, variables, state, cur_gray, cur_color, cfg,
-            refine=refine, out_hw=out_hw, use_pallas=use_pallas,
-            color_channels_first=use_pallas,
-        )
-        return new_state, out.warped_color
-
-    color_seq = jnp.moveaxis(clip_color[:, 1:], 1, 0)  # (T-1, S, Hf, Wf, 3)
-    if use_pallas:
-        # One whole-clip transpose to channels-first uint8: the per-frame
-        # kernel then DMAs uint8 windows directly (no in-loop layout change).
-        color_seq = jnp.moveaxis(color_seq, -1, 2)     # (T-1, S, 3, Hf, Wf)
-    xs = (
-        jnp.moveaxis(clip_gray[:, 1:], 1, 0),          # (T-1, S, H, W)
-        color_seq,
-    )
-    final_state, warped = jax.lax.scan(body, state0, xs)
-    return jnp.moveaxis(warped, 0, 1), final_state
+    return scan_frames(model, variables, state0, clip_gray[:, 1:],
+                       clip_color[:, 1:], cfg, refine=refine, out_hw=out_hw,
+                       use_pallas=use_pallas, valid=valid)
 
 
 class StreamEngine:
@@ -319,6 +371,13 @@ class StreamEngine:
                 out_hw=out_hw, use_pallas=use_pallas,
             )
         )
+        self._scan = jax.jit(
+            functools.partial(
+                scan_frames, model, cfg=cfg, refine=refine,
+                out_hw=out_hw, use_pallas=use_pallas,
+            ),
+            donate_argnames=("state",),
+        )
         # Sharded whole-clip callables, one per mesh (jax.jit instances cache
         # per instance — rebuilding one per call would recompile every call).
         self._clip_sharded: dict = {}
@@ -342,14 +401,35 @@ class StreamEngine:
         )
 
 
-    def stabilize_clip(self, clip_gray: np.ndarray, clip_color: np.ndarray
+    def stabilize_clip(self, clip_gray: np.ndarray, clip_color: np.ndarray,
+                       valid: Optional[np.ndarray] = None
                        ) -> Tuple[jax.Array, StreamState]:
         """Whole-clip on-device stabilization (see stabilize_clip_device)."""
+        if valid is None:
+            return self._clip(self.variables, jnp.asarray(clip_gray),
+                              jnp.asarray(clip_color))
         return self._clip(self.variables, jnp.asarray(clip_gray),
-                          jnp.asarray(clip_color))
+                          jnp.asarray(clip_color), valid=jnp.asarray(valid))
+
+    def continue_clip(self, state: StreamState, clip_gray: np.ndarray,
+                      clip_color: np.ndarray,
+                      valid: Optional[np.ndarray] = None
+                      ) -> Tuple[jax.Array, StreamState]:
+        """Scan a segment of frames from an existing state (see scan_frames).
+
+        Chunked batch serving: `init` once, then feed fixed-size segments —
+        device memory for the warped output stays bounded by the segment
+        length instead of the clip length.  `state` is donated.
+        """
+        if valid is None:
+            return self._scan(self.variables, state, jnp.asarray(clip_gray),
+                              jnp.asarray(clip_color))
+        return self._scan(self.variables, state, jnp.asarray(clip_gray),
+                          jnp.asarray(clip_color), valid=jnp.asarray(valid))
 
     def stabilize_clips_sharded(self, clip_gray: np.ndarray,
-                                clip_color: np.ndarray, mesh=None
+                                clip_color: np.ndarray, mesh=None,
+                                valid: Optional[np.ndarray] = None
                                 ) -> Tuple[jax.Array, StreamState]:
         """Multi-chip batch stabilization: shard S clips over the data mesh.
 
@@ -358,7 +438,8 @@ class StreamEngine:
         collectives in steady state (the reference has no multi-device
         capability at all; SURVEY.md section 2).
 
-        S must be divisible by the mesh size.
+        S must be divisible by the mesh size.  `valid` is the (S, T-1)
+        unequal-length mask of `scan_frames`.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -366,25 +447,36 @@ class StreamEngine:
 
         mesh = mesh or data_mesh()
         shard = NamedSharding(mesh, P(self.cfg.mesh_data_axis))
-        fn = self._clip_sharded.get(mesh)
+        key = (mesh, valid is not None)
+        fn = self._clip_sharded.get(key)
         if fn is None:
             use_pallas = mesh.devices.flat[0].platform in ("tpu", "axon")
             repl = NamedSharding(mesh, P())
+            in_shardings = (repl, shard, shard) + (
+                (shard,) if valid is not None else ())
+
+            def _impl(variables, clip_gray, clip_color, valid=None):
+                # Positional-trailing `valid` (in_shardings only covers
+                # positional parameters).
+                return stabilize_clip_device(
+                    self.model, variables, clip_gray, clip_color,
+                    cfg=self.cfg, refine=self.refine, out_hw=self.out_hw,
+                    use_pallas=use_pallas, valid=valid)
+
             fn = jax.jit(
-                functools.partial(
-                    stabilize_clip_device, self.model, cfg=self.cfg,
-                    refine=self.refine, out_hw=self.out_hw,
-                    use_pallas=use_pallas,
-                ),
-                in_shardings=(repl, shard, shard),
+                _impl,
+                in_shardings=in_shardings,
                 out_shardings=(shard, StreamState(shard, shard, repl, shard)),
             )
-            self._clip_sharded[mesh] = fn
+            self._clip_sharded[key] = fn
         # Place inputs with the shard sharding up front: a bare jnp.asarray
         # would commit the full multi-chip batch to device 0's HBM before the
         # jit reshards it (S*n_dev 720p clips overflow one chip).
-        return fn(self.variables, jax.device_put(clip_gray, shard),
-                  jax.device_put(clip_color, shard))
+        args = (jax.device_put(clip_gray, shard),
+                jax.device_put(clip_color, shard))
+        if valid is not None:
+            args += (jax.device_put(np.asarray(valid, bool), shard),)
+        return fn(self.variables, *args)
 
 
 def crop_rectangle(all_black: np.ndarray) -> Tuple[int, int, int, int]:
