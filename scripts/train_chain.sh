@@ -21,8 +21,27 @@ TARGET=$1
 SEG=$2
 shift 2
 
+# Resumability: if the model dir already holds checkpoints (orbax layout:
+# one numeric subdir per step), restart the chain FROM the latest one —
+# a re-run after a crash must not retrain from scratch (it would also
+# collide with the existing checkpoint at its segment end).
+MODEL_DIR=""
+prev=""
+for a in "$@"; do
+    if [ "$prev" = "--model-dir" ]; then MODEL_DIR=$a; fi
+    prev=$a
+done
 STEP=0
 RESTORE=()
+if [ -n "$MODEL_DIR" ] && [ -d "$MODEL_DIR" ]; then
+    LATEST=$(find "$MODEL_DIR" -maxdepth 1 -type d -name '[0-9]*' \
+             -printf '%f\n' 2>/dev/null | sort -n | tail -1 || true)
+    if [ -n "${LATEST:-}" ]; then
+        STEP=$LATEST
+        RESTORE=(--restore)
+        echo "== train_chain: resuming from existing checkpoint step $STEP" >&2
+    fi
+fi
 while [ "$STEP" -lt "$TARGET" ]; do
     NEXT=$(( STEP + SEG ))
     if [ "$NEXT" -gt "$TARGET" ]; then NEXT=$TARGET; fi

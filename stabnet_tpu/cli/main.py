@@ -197,6 +197,12 @@ def cmd_stabilize(args):
         if out_hw is None:
             raise SystemExit("artifact has no metadata; pass --output-size "
                              "matching the exported shapes")
+        if (meta.get("out_hw") and output_size
+                and tuple(meta["out_hw"]) != output_size):
+            raise SystemExit(
+                f"--output-size {output_size} conflicts with the artifact's "
+                f"baked {tuple(meta['out_hw'])}; re-export for a different "
+                f"size or drop the flag")
         if meta.get("streams", 1) != 1:
             raise SystemExit("stabilize serves one clip at a time; export "
                              "with --streams 1 for this path")
@@ -263,11 +269,19 @@ def cmd_stabilize(args):
 
 def _stabilize_batched(args, driver, videos):
     """--batch N: stabilize groups of N clips concurrently via the on-device
-    whole-clip scan (the bench.py throughput path as a serving mode)."""
+    whole-clip scan (the bench.py throughput path as a serving mode).
+
+    Groups are padded to N streams with dummy all-invalid streams and the
+    time axis is chunked (default 64 frames), so ONE compiled executable
+    serves every group — without this, each group's padded length would be a
+    fresh static scan length and trigger a fresh XLA compile."""
     import numpy as np
 
     from stabnet_tpu.stream import video_io
 
+    chunk = args.batch_chunk
+    if chunk is None and not args.batch_sharded:
+        chunk = 64
     failures = 0
     for lo in range(0, len(videos), args.batch):
         group = videos[lo : lo + args.batch]
@@ -276,9 +290,13 @@ def _stabilize_batched(args, driver, videos):
             try:
                 reader = video_io.VideoReader(
                     os.path.join(args.prefix, "unstable", name))
-                clips.append(np.stack(list(reader)))
-                fps_list.append(reader.fps)
+                clip = np.stack(list(reader))
+                fps = reader.fps
                 reader.close()
+                if len(clip) < 2:
+                    raise ValueError(f"{len(clip)} frames (need at least 2)")
+                clips.append(clip)
+                fps_list.append(fps)
                 names.append(name)
             except Exception as e:
                 failures += 1
@@ -287,7 +305,8 @@ def _stabilize_batched(args, driver, videos):
             continue
         try:
             results = driver.stabilize_batch(
-                clips, chunk=args.batch_chunk, sharded=args.batch_sharded)
+                clips, chunk=chunk, sharded=args.batch_sharded,
+                pad_streams=args.batch)
         except Exception as e:
             failures += len(clips)
             print(f"error: batch {names}: {e}", file=sys.stderr)
@@ -301,6 +320,19 @@ def _stabilize_batched(args, driver, videos):
                                 res.cropped, fps)
             print(f"{name}: {len(res.frames)} frames, batch fps={res.fps_net:.1f}, "
                   f"crop={res.crop_rect}")
+            if args.metrics:
+                import json
+
+                from stabnet_tpu.eval import evaluate_clip
+                from stabnet_tpu.stream.video_io import to_gray_train
+
+                out_gray = np.stack([
+                    to_gray_train(f, driver.cfg.height, driver.cfg.width)
+                    for f in res.frames])
+                n = min(len(out_gray), len(res.input_gray))
+                scores = evaluate_clip(out_gray[:n], res.input_gray[:n])
+                scores["video"] = name
+                print(json.dumps(scores))
     if failures:
         print(f"{failures}/{len(videos)} videos failed", file=sys.stderr)
         sys.exit(1)
@@ -351,8 +383,13 @@ def cmd_bench(args):
     import runpy
 
     sys.argv = ["bench.py"]
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
-                   run_name="__main__")
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
+    if os.path.exists(path):
+        runpy.run_path(path, run_name="__main__")
+    else:
+        # Installed package: bench ships as a top-level module (pyproject
+        # py-modules), not a repo-root file.
+        runpy.run_module("bench", run_name="__main__")
 
 
 def cmd_convert_ckpt(args):

@@ -16,13 +16,14 @@ input-frame sampling locations.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# When True, `solve_dlt` uses the portable unrolled Gauss-Jordan solver
+# When set, `solve_dlt` uses the portable unrolled Gauss-Jordan solver
 # (`_solve8`) instead of `jnp.linalg.solve`.  Flip it with `portable_solve()`
 # while tracing computations that must deserialize cleanly via `jax.export`:
 # on CPU, `jnp.linalg.solve` lowers to LAPACK FFI custom calls that crash
@@ -33,20 +34,20 @@ import numpy as np
 # custom call guarantees that, while inlined elimination steps can round
 # differently per program — a near-tie pivot then flips, the two solutions
 # split at O(eps * cond), and the streaming history feedback amplifies the
-# split into visible pixels.
-_PORTABLE_SOLVE = False
+# split into visible pixels.  A ContextVar (not a module global) so a live
+# engine tracing on another thread never picks up an export's solver.
+_PORTABLE_SOLVE = contextvars.ContextVar("stabnet_portable_solve",
+                                         default=False)
 
 
 @contextlib.contextmanager
 def portable_solve():
     """Trace `solve_dlt` with the export-safe elimination solver."""
-    global _PORTABLE_SOLVE
-    prev = _PORTABLE_SOLVE
-    _PORTABLE_SOLVE = True
+    token = _PORTABLE_SOLVE.set(True)
     try:
         yield
     finally:
-        _PORTABLE_SOLVE = prev
+        _PORTABLE_SOLVE.reset(token)
 
 
 def solve_dlt(src: jax.Array, dst: jax.Array, eps: float = 1e-4) -> jax.Array:
@@ -79,7 +80,7 @@ def solve_dlt(src: jax.Array, dst: jax.Array, eps: float = 1e-4) -> jax.Array:
     # The reference computes inv(A + eps I) @ b; a batched solve is the
     # XLA-native equivalent (one fused batched LU kernel).  See
     # `_PORTABLE_SOLVE` above for when the elimination solver is used instead.
-    if _PORTABLE_SOLVE:
+    if _PORTABLE_SOLVE.get():
         h = _solve8(A, b[..., 0])                          # (..., 8)
     else:
         h = jnp.linalg.solve(A, b)[..., 0]                 # (..., 8)

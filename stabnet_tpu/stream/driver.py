@@ -200,7 +200,8 @@ class StreamDriver:
     # -- batch serving (throughput mode) -------------------------------------
     def stabilize_batch(self, clips: List[np.ndarray],
                         chunk: Optional[int] = None,
-                        sharded: bool = False) -> List[ClipResult]:
+                        sharded: bool = False,
+                        pad_streams: Optional[int] = None) -> List[ClipResult]:
         """Stabilize S clips concurrently via the on-device whole-clip scan.
 
         The production throughput mode: clips are padded to a common length
@@ -217,23 +218,37 @@ class StreamDriver:
             is compiled once and reused — tails are padded with invalid
             steps).  None = one scan over the whole padded length.
           sharded: shard the S clips over all local devices (S must be
-            divisible by the device count; incompatible with `chunk`).
+            divisible by the device count — use `pad_streams`; incompatible
+            with `chunk`).
+          pad_streams: pad the stream count up to this value with dummy
+            all-invalid streams (their compute is lock-step overhead, their
+            results are dropped).  Keeps tail groups on the same compiled
+            executable as full groups, and makes any group size shardable.
 
-        History-ablation options (--infer-with-*/--max-span/--random-black)
-        and --deploy-vis need the frame-at-a-time live loop and are rejected.
+        History-ablation options (--infer-with-*/--max-span/--random-black,
+        --start-with-stable) and --deploy-vis need the frame-at-a-time live
+        loop and are rejected.
         """
         cfg, opt = self.cfg, self.opt
         if (opt.infer_with_stable or opt.infer_with_last or opt.max_span > 1
-                or opt.random_black is not None or opt.deploy_vis):
+                or opt.random_black is not None or opt.deploy_vis
+                or opt.start_with_stable):
             raise ValueError(
-                "batch mode serves the production path; history ablations "
-                "and --deploy-vis need the per-frame loop (drop --batch)")
+                "batch mode serves the production path; history ablations, "
+                "--start-with-stable, and --deploy-vis need the per-frame "
+                "loop (drop --batch)")
         if sharded and chunk is not None:
             raise ValueError("--batch-chunk is a single-device path; "
                              "use one of chunk/sharded")
-        S = len(clips)
-        assert S >= 1 and all(len(c) >= 2 for c in clips)
-        lengths = [len(c) for c in clips]
+        n_real = len(clips)
+        if n_real < 1:
+            raise ValueError("empty batch")
+        short = [s for s, c in enumerate(clips) if len(c) < 2]
+        if short:
+            raise ValueError(f"clips need at least 2 frames (violated by "
+                             f"batch indices {short})")
+        S = max(n_real, pad_streams or 0)
+        lengths = [len(c) for c in clips] + [2] * (S - n_real)
         T = max(lengths)
 
         out_hw = opt.output_size or tuple(clips[0].shape[1:3])
@@ -286,7 +301,7 @@ class StreamDriver:
             warped_np = np.concatenate(segs, axis=1)[:, :steps]
         all_black = np.asarray(state.all_black)
         elapsed = time.perf_counter() - t0
-        total_frames = sum(lengths) - S
+        total_frames = sum(len(c) - 1 for c in clips)
         fps = total_frames / elapsed if elapsed > 0 else float("inf")
 
         results = []

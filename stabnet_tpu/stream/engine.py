@@ -446,6 +446,11 @@ class StreamEngine:
         from stabnet_tpu.parallel import data_mesh
 
         mesh = mesh or data_mesh()
+        if clip_gray.shape[0] % mesh.devices.size:
+            raise ValueError(
+                f"S={clip_gray.shape[0]} streams not divisible by the "
+                f"{mesh.devices.size}-device mesh; pad the batch (driver: "
+                f"pad_streams) or drop sharding")
         shard = NamedSharding(mesh, P(self.cfg.mesh_data_axis))
         key = (mesh, valid is not None)
         fn = self._clip_sharded.get(key)
