@@ -203,11 +203,16 @@ def cmd_stabilize(args):
                 f"--output-size {output_size} conflicts with the artifact's "
                 f"baked {tuple(meta['out_hw'])}; re-export for a different "
                 f"size or drop the flag")
-        if meta.get("streams", 1) != 1:
-            raise SystemExit("stabilize serves one clip at a time; export "
-                             "with --streams 1 for this path")
-        engine = ExportedEngine(data, cfg, out_hw,
-                                streams=meta.get("streams", 1))
+        streams = meta.get("streams", 1)
+        if args.batch > 1:
+            if streams != args.batch:
+                raise SystemExit(f"artifact baked for {streams} streams; "
+                                 f"use --batch {streams}")
+        elif streams != 1:
+            raise SystemExit(f"artifact baked for {streams} streams; pass "
+                             f"--batch {streams} to serve it, or export "
+                             f"with --streams 1")
+        engine = ExportedEngine(data, cfg, out_hw, streams=streams)
         output_size = tuple(out_hw)
     else:
         cfg = get_config(args.config)
@@ -231,9 +236,6 @@ def cmd_stabilize(args):
 
     videos = _read_video_lists(args.test_list)
     if args.batch > 1:
-        if args.from_export:
-            raise SystemExit("--batch uses the live whole-clip scan; "
-                             "serve artifacts one clip at a time")
         _stabilize_batched(args, driver, videos)
         return
     failures = 0
@@ -280,7 +282,8 @@ def _stabilize_batched(args, driver, videos):
     from stabnet_tpu.stream import video_io
 
     chunk = args.batch_chunk
-    if chunk is None and not args.batch_sharded:
+    if (chunk is None and not args.batch_sharded
+            and hasattr(driver.engine, "continue_clip")):
         chunk = 64
     failures = 0
     for lo in range(0, len(videos), args.batch):

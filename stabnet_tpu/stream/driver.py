@@ -240,6 +240,11 @@ class StreamDriver:
         if sharded and chunk is not None:
             raise ValueError("--batch-chunk is a single-device path; "
                              "use one of chunk/sharded")
+        if ((chunk is not None and not hasattr(self.engine, "continue_clip"))
+                or (sharded and not hasattr(self.engine,
+                                            "stabilize_clips_sharded"))):
+            raise ValueError("chunked/sharded batch serving needs a live "
+                             "engine (exported artifacts step frame-wise)")
         n_real = len(clips)
         if n_real < 1:
             raise ValueError("empty batch")

@@ -171,6 +171,43 @@ class ExportedEngine:
             color = np.stack([_resize_color_u8(c, self.out_hw) for c in color])
         return self._fn(state, jnp.asarray(cur_gray), jnp.asarray(color))
 
+    def stabilize_clip(self, clip_gray: np.ndarray, clip_color: np.ndarray,
+                       valid: Optional[np.ndarray] = None):
+        """Whole-clip batch serving through the artifact's per-frame step.
+
+        StreamDriver.stabilize_batch-compatible: same signature and return
+        contract as StreamEngine.stabilize_clip.  The artifact step has no
+        validity masking (it is the baked production step), so unequal clip
+        lengths are handled HOST-side: each stream's crop accumulator is
+        snapshotted at its true end and the returned state carries the
+        frozen per-stream maps; outputs past a clip's end are computed in
+        lock-step but discarded by the caller.
+
+        clip_gray: (S, T, H, W); clip_color: (S, T, Ho, Wo, 3) uint8;
+        valid: optional (S, T-1) prefix mask.
+        """
+        import types
+
+        S, T = clip_gray.shape[:2]
+        if S != self.streams:
+            raise ValueError(f"artifact baked for {self.streams} streams, "
+                             f"got a batch of {S}")
+        # Stream s's last processed step (1-based); 0 = dummy all-invalid.
+        ends = (np.asarray(valid, bool).sum(axis=1) if valid is not None
+                else np.full(S, T - 1))
+        state = self.init(clip_gray[:, 0])
+        frozen = [np.zeros(clip_gray.shape[2:], np.int32) for _ in range(S)]
+        warped = []
+        for t in range(1, T):
+            state, out = self.step(state, clip_gray[:, t], clip_color[:, t])
+            warped.append(np.asarray(out.warped_color))
+            if np.any(ends == t):
+                ab = np.asarray(state.all_black)
+                for s in np.flatnonzero(ends == t):
+                    frozen[s] = ab[s]
+        return (np.stack(warped, axis=1),
+                types.SimpleNamespace(all_black=np.stack(frozen)))
+
 
 def _resize_color_u8(frame: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     from stabnet_tpu.stream import video_io

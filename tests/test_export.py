@@ -117,3 +117,42 @@ def test_artifact_file_and_exported_engine(tmp_path):
         f.write(data)
     blob2, meta2 = load_artifact(bare)
     assert blob2 == data and meta2 == {}
+
+
+def test_exported_batch_serving_unequal_lengths():
+    """A streams=2 artifact drives StreamDriver.stabilize_batch; each clip's
+    crop accumulator is snapshotted host-side at its true end, so a shorter
+    clip's result is independent of whatever lock-step padding runs after
+    it."""
+    import pytest
+
+    from stabnet_tpu.data.synthetic import make_video
+    from stabnet_tpu.stream.driver import DeployOptions, StreamDriver
+    from stabnet_tpu.stream.export import ExportedEngine
+
+    model, variables = _setup()
+    data = export_stream_step(model, variables, CFG, OUT_HW, streams=2)
+    engine = ExportedEngine(data, CFG, OUT_HW, streams=2)
+    driver = StreamDriver(engine, DeployOptions(output_size=OUT_HW))
+
+    A = np.stack(make_video(5, *OUT_HW, seed=11, jitter=2.0))
+    B = np.stack(make_video(4, *OUT_HW, seed=12, jitter=2.0))
+    res = driver.stabilize_batch([A, B])
+    assert [len(r.frames) for r in res] == [5, 4]
+    assert all(r.frames.shape[1:] == (*OUT_HW, 3) for r in res)
+
+    # Same batch with A truncated to B's length: B's frozen accumulator and
+    # valid-prefix outputs must be identical (the padded tail is discarded).
+    res2 = driver.stabilize_batch([A[:4], B])
+    np.testing.assert_array_equal(res[1].all_black, res2[1].all_black)
+    np.testing.assert_array_equal(res[1].frames, res2[1].frames)
+
+    # Wrong batch size vs the baked stream count is a clear error.
+    with pytest.raises(ValueError, match="streams"):
+        engine.stabilize_clip(np.zeros((3, 2, CFG.height, CFG.width),
+                                       np.float32),
+                              np.zeros((3, 2, *OUT_HW, 3), np.uint8))
+
+    # Chunked/sharded need the live engine.
+    with pytest.raises(ValueError, match="live engine"):
+        driver.stabilize_batch([A, B], chunk=2)
