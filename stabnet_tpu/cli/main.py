@@ -92,7 +92,9 @@ def _add_stabilize_args(p: argparse.ArgumentParser):
     p.add_argument("--max-span", type=int, default=1)
     p.add_argument("--random-black", type=int, default=None)
     p.add_argument("--start-with-stable", action="store_true")
-    p.add_argument("--refine", type=int, default=1)
+    # Default None (= 1) so an explicit --refine can be detected and checked
+    # against a serving artifact's baked value.
+    p.add_argument("--refine", type=int, default=None)
     p.add_argument("--deploy-vis", action="store_true")
     p.add_argument("--metrics", action="store_true",
                    help="print stability/cropping/distortion scores per clip "
@@ -182,6 +184,7 @@ def cmd_stabilize(args):
     from stabnet_tpu.stream import DeployOptions, StreamDriver, StreamEngine
 
     output_size = tuple(args.output_size) if args.output_size else None
+    refine = args.refine if args.refine is not None else 1
     if args.from_export:
         # Serve from an AOT artifact: no model code or checkpoint plumbing.
         from stabnet_tpu.stream.export import ExportedEngine, load_artifact
@@ -203,6 +206,19 @@ def cmd_stabilize(args):
                 f"--output-size {output_size} conflicts with the artifact's "
                 f"baked {tuple(meta['out_hw'])}; re-export for a different "
                 f"size or drop the flag")
+        # The refine count is baked into the artifact; a conflicting
+        # explicit flag must error, not silently serve the baked one.
+        if (args.refine is not None and "refine" in meta
+                and meta["refine"] != args.refine):
+            raise SystemExit(
+                f"--refine {args.refine} conflicts with the artifact's "
+                f"baked refine={meta['refine']}; re-export or drop the flag")
+        refine = meta.get("refine", refine)
+        if not meta and args.batch > 1:
+            raise SystemExit(
+                "artifact has no metadata (bare jax.export payload), so its "
+                "baked stream count is unknown; re-export to get a "
+                "self-describing artifact")
         streams = meta.get("streams", 1)
         if args.batch > 1:
             if streams != args.batch:
@@ -220,11 +236,11 @@ def cmd_stabilize(args):
         variables = _load_variables(model, cfg, args.tf_checkpoint,
                                     args.model_dir)
         engine = StreamEngine(
-            model, variables, cfg, refine=args.refine,
+            model, variables, cfg, refine=refine,
             out_hw=output_size,
         )
     opt = DeployOptions(
-        refine=args.refine, max_span=args.max_span,
+        refine=refine, max_span=args.max_span,
         infer_with_stable=args.infer_with_stable,
         infer_with_last=args.infer_with_last,
         start_with_stable=args.start_with_stable,
@@ -282,9 +298,8 @@ def _stabilize_batched(args, driver, videos):
     from stabnet_tpu.stream import video_io
 
     chunk = args.batch_chunk
-    if (chunk is None and not args.batch_sharded
-            and hasattr(driver.engine, "continue_clip")):
-        chunk = 64
+    auto_chunk = (chunk is None and not args.batch_sharded
+                  and hasattr(driver.engine, "continue_clip"))
     failures = 0
     for lo in range(0, len(videos), args.batch):
         group = videos[lo : lo + args.batch]
@@ -306,6 +321,12 @@ def _stabilize_batched(args, driver, videos):
                 print(f"error: {name}: {e}", file=sys.stderr)
         if not clips:
             continue
+        if auto_chunk:
+            # Sized from the first group (then FIXED, to keep the
+            # one-executable property): 64 bounds device memory for long
+            # clips without padding short ones to 16x their length.
+            chunk = min(64, max(len(c) for c in clips) - 1)
+            auto_chunk = False
         try:
             results = driver.stabilize_batch(
                 clips, chunk=chunk, sharded=args.batch_sharded,
@@ -317,9 +338,10 @@ def _stabilize_batched(args, driver, videos):
         prod = os.path.join(args.output_dir, "output")
         os.makedirs(prod, exist_ok=True)
         for name, fps, res in zip(names, fps_list, results):
-            driver._write_video(os.path.join(prod, name + ".avi"),
+            base = os.path.basename(name)  # same layout as stabilize_file
+            driver._write_video(os.path.join(prod, base + ".avi"),
                                 res.frames, fps)
-            driver._write_video(os.path.join(prod, name + "_cut.avi"),
+            driver._write_video(os.path.join(prod, base + "_cut.avi"),
                                 res.cropped, fps)
             print(f"{name}: {len(res.frames)} frames, batch fps={res.fps_net:.1f}, "
                   f"crop={res.crop_rect}")

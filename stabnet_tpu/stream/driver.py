@@ -255,7 +255,19 @@ class StreamDriver:
         S = max(n_real, pad_streams or 0)
         lengths = [len(c) for c in clips] + [2] * (S - n_real)
         T = max(lengths)
+        if chunk is not None:
+            # Pad the step count to whole segments up front so every segment
+            # runs the SAME executable — allocating at the padded length here
+            # avoids copying the (large) host clip buffers later.
+            T = 1 + -(-(T - 1) // chunk) * chunk
 
+        if opt.output_size is None:
+            sizes = {tuple(c.shape[1:3]) for c in clips}
+            if len(sizes) > 1:
+                raise ValueError(
+                    f"clips in one batch have mixed resolutions {sizes}; "
+                    f"pass output_size to pick one (single-clip mode keeps "
+                    f"each clip's native size)")
         out_hw = opt.output_size or tuple(clips[0].shape[1:3])
         grays = np.zeros((S, T, cfg.height, cfg.width), np.float32)
         colors = np.zeros((S, T, *out_hw, 3), np.uint8)
@@ -283,27 +295,17 @@ class StreamDriver:
                                                            valid=valid)
             warped_np = np.asarray(warped)          # (S, T-1, Ho, Wo, 3)
         else:
-            # Fixed-size segments, tail padded with invalid steps so every
-            # segment runs the SAME compiled executable.
-            steps = T - 1
-            n_seg = -(-steps // chunk)
-            pad = n_seg * chunk - steps
-            if pad:
-                grays = np.concatenate(
-                    [grays, np.repeat(grays[:, -1:], pad, axis=1)], axis=1)
-                colors = np.concatenate(
-                    [colors, np.repeat(colors[:, -1:], pad, axis=1)], axis=1)
-                valid = np.concatenate(
-                    [valid, np.zeros((S, pad), bool)], axis=1)
+            # Fixed-size segments (T was padded to whole segments above) so
+            # every segment runs the SAME compiled executable.
             state = self.engine.init(grays[:, 0])
             segs = []
-            for k in range(n_seg):
+            for k in range((T - 1) // chunk):
                 lo, hi = 1 + k * chunk, 1 + (k + 1) * chunk
                 w, state = self.engine.continue_clip(
                     state, grays[:, lo:hi], colors[:, lo:hi],
                     valid=valid[:, lo - 1 : hi - 1])
                 segs.append(np.asarray(w))
-            warped_np = np.concatenate(segs, axis=1)[:, :steps]
+            warped_np = np.concatenate(segs, axis=1)
         all_black = np.asarray(state.all_black)
         elapsed = time.perf_counter() - t0
         total_frames = sum(len(c) - 1 for c in clips)
@@ -324,12 +326,16 @@ class StreamDriver:
                 int(np.ceil(left * sx)) : int(np.floor((right + 1) * sx)),
                 :,
             ]
+            # input_gray reuses grays[s, 1:] (computed above with the same
+            # crop_rate=1.0); only frame 0 differs (it used cfg.crop_rate).
             results.append(ClipResult(
                 frames=frames_arr, cropped=cropped, crop_rect=rect,
                 all_black=all_black[s], fps_net=fps,
-                input_gray=(np.stack([
-                    video_io.to_gray_train(f, cfg.height, cfg.width, 1.0)
-                    for f in clip]) if opt.collect_input_gray else None),
+                input_gray=(np.concatenate([
+                    video_io.to_gray_train(clip[0], cfg.height, cfg.width,
+                                           1.0)[None],
+                    grays[s, 1 : lengths[s]],
+                ]) if opt.collect_input_gray else None),
             ))
         return results
 

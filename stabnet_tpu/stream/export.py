@@ -166,9 +166,12 @@ class ExportedEngine:
                 "exported artifacts serve the production streaming path; "
                 "--infer-with-*/--max-span/--random-black need a live "
                 "engine (--model-dir/--tf-checkpoint)")
+        from stabnet_tpu.stream.driver import StreamDriver
+
         color = np.asarray(cur_color)
         if color.shape[1:3] != self.out_hw:
-            color = np.stack([_resize_color_u8(c, self.out_hw) for c in color])
+            color = np.stack([StreamDriver._resize_color(c, self.out_hw)
+                              for c in color])
         return self._fn(state, jnp.asarray(cur_gray), jnp.asarray(color))
 
     def stabilize_clip(self, clip_gray: np.ndarray, clip_color: np.ndarray,
@@ -209,11 +212,3 @@ class ExportedEngine:
                 types.SimpleNamespace(all_black=np.stack(frozen)))
 
 
-def _resize_color_u8(frame: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
-    from stabnet_tpu.stream import video_io
-
-    if video_io.HAVE_CV2:
-        import cv2
-
-        return cv2.resize(frame, (out_hw[1], out_hw[0]))
-    return video_io._resize_nearest(frame, *out_hw)
