@@ -469,12 +469,24 @@ def cmd_export(args):
                                 args.model_dir, what="exporting")
 
     out_hw = tuple(args.output_size)
+    platforms = tuple(args.platforms) if args.platforms else None
     data = export_stream_step(model, variables, cfg, out_hw,
-                              streams=args.streams, refine=args.refine)
-    save_artifact(args.out, data, cfg, out_hw, args.streams, args.refine)
-    print(f"exported {len(data) / 1e6:.1f} MB -> {args.out}")
+                              streams=args.streams, refine=args.refine,
+                              platforms=platforms)
+    save_artifact(args.out, data, cfg, out_hw, args.streams, args.refine,
+                  platforms=platforms)
+    print(f"exported {len(data) / 1e6:.1f} MB -> {args.out}"
+          + (f" (platforms: {', '.join(platforms)})" if platforms else ""))
 
     if args.selftest:
+        import jax
+
+        backend = jax.default_backend()
+        if platforms and backend not in platforms and not (
+                backend == "axon" and "tpu" in platforms):
+            print(f"selftest skipped: artifact lowered for "
+                  f"{', '.join(platforms)}; current backend is {backend}")
+            return
         step = load_stream_step(data)
         S, (Ho, Wo) = args.streams, out_hw
         gray = np.zeros((S, cfg.height, cfg.width), np.float32)
@@ -556,6 +568,11 @@ def main(argv=None):
     p.add_argument("--streams", type=int, default=1)
     p.add_argument("--refine", type=int, default=1)
     p.add_argument("--output-size", type=int, nargs=2, default=[720, 1280])
+    p.add_argument("--platforms", nargs="+", default=None,
+                   metavar="PLATFORM",
+                   help="lowering platforms (e.g. `tpu`: a CPU build host "
+                        "exports a full-performance TPU artifact; default: "
+                        "the current backend)")
     p.add_argument("--selftest", action="store_true",
                    help="deserialize and run one step on zeros")
     p.set_defaults(fn=cmd_export)

@@ -50,14 +50,23 @@ def export_stream_step(model, variables, cfg: StabNetConfig,
     Args:
       out_hw: full-resolution output size (Ho, Wo).
       streams: number of concurrent streams S the artifact serves.
-      platforms: lowering platforms (default: the current backend).
+      platforms: lowering platforms (default: the current backend).  A
+        CPU build host CAN export a full-performance TPU artifact
+        (`platforms=("tpu",)`): the Pallas warp kernels Mosaic-lower
+        without a device.  A multi-platform ("cpu","tpu") artifact falls
+        back to the XLA sampler everywhere (the Pallas kernels are
+        TPU-only), trading TPU warp speed for portability.
 
     Returns:
       Serialized `jax.export` artifact bytes.
     """
     from jax import export as jax_export
 
-    use_pallas = jax.default_backend() in ("tpu", "axon")
+    if platforms:
+        use_pallas = ("cpu" not in platforms
+                      and any(p in ("tpu", "axon") for p in platforms))
+    else:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
 
     def step(state, gray, color):
         return _engine.stream_step(model, variables, state, gray, color, cfg,
@@ -106,18 +115,22 @@ _MAGIC = b"STBX1\n"
 
 
 def save_artifact(path: str, data: bytes, cfg: StabNetConfig,
-                  out_hw: Tuple[int, int], streams: int, refine: int) -> None:
+                  out_hw: Tuple[int, int], streams: int, refine: int,
+                  platforms: Optional[Tuple[str, ...]] = None) -> None:
     """Write `data` with a small JSON header so a serving process can
     reconstruct the run parameters (config name, baked shapes) from the file
     alone — the reference's .meta files are similarly self-describing."""
     import json
 
-    header = json.dumps({
+    meta = {
         "config": cfg.name,
         "out_hw": [int(out_hw[0]), int(out_hw[1])],
         "streams": int(streams),
         "refine": int(refine),
-    }).encode()
+    }
+    if platforms:
+        meta["platforms"] = list(platforms)
+    header = json.dumps(meta).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC + len(header).to_bytes(4, "little") + header + data)
 

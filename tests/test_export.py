@@ -119,6 +119,23 @@ def test_artifact_file_and_exported_engine(tmp_path):
     assert blob2 == data and meta2 == {}
 
 
+def test_cross_platform_tpu_export(tmp_path):
+    """A CPU host lowers a full-performance TPU artifact (Pallas warp
+    kernels Mosaic-lower without a device); the platform list rides in the
+    artifact metadata."""
+    from stabnet_tpu.stream.export import load_artifact, save_artifact
+
+    model, variables = _setup()
+    data = export_stream_step(model, variables, CFG, OUT_HW, streams=1,
+                              platforms=("tpu",))
+    assert len(data) > 0
+    path = str(tmp_path / "tpu.stbx")
+    save_artifact(path, data, CFG, OUT_HW, streams=1, refine=1,
+                  platforms=("tpu",))
+    _, meta = load_artifact(path)
+    assert meta["platforms"] == ["tpu"]
+
+
 def test_exported_batch_serving_unequal_lengths():
     """A streams=2 artifact drives StreamDriver.stabilize_batch; each clip's
     crop accumulator is snapshotted host-side at its true end, so a shorter
