@@ -53,7 +53,8 @@ def _ceil_mult(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
+def _warp_band_kernel(xmin_ref, ymin_ref, x_ref, y_ref, im_hbm, out_ref,
+                      win2, sem2, *,
                       H: int, W: int, YW: int, YB: int, XW: int, XB: int,
                       C: int, ntw: int, exact: bool, out_uint8: bool,
                       strict_edge: bool):
@@ -83,30 +84,34 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
     statically unrolled loop with TWO window buffers: tile j+1's DMA is
     issued before tile j is processed, so the copy engine runs a tile ahead
     of the VPU/MXU and the latency is hidden.
+
+    Per-tile minimum sample coordinates (the DMA window bases) arrive as
+    SMEM scalars computed OUTSIDE the kernel: XLA fuses the (B, nth, ntw)
+    min-reduction into the map-producing computation nearly for free, where
+    the in-kernel version paid floor/cast/clip passes plus two cross-lane
+    reductions per tile — twice (once when issuing the look-ahead DMA, once
+    in the body).
     """
     b = pl.program_id(0)
+    i = pl.program_id(1)
     Hp_im = _ceil_mult(H, 8)
     Wp_im = _ceil_mult(W, 128)
 
     def bounds(j):
-        x = x_ref[0, 0, j]                        # (1, N) pixel-space x
-        y = y_ref[0, 0, j]
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        x0c = jnp.clip(x0, 0, W - 1)
-        y0c = jnp.clip(y0, 0, H - 1)
-        xmin = jnp.min(x0c)
-        ymin = jnp.min(y0c)
+        xmin = xmin_ref[0, i, j]
+        ymin = ymin_ref[0, i, j]
         ybase = jnp.maximum(jnp.minimum(ymin & ~7, Hp_im - YB), 0)
         xbase = jnp.maximum(jnp.minimum(xmin & ~127, Wp_im - XB), 0)
         ybase = pl.multiple_of(ybase, 8)
         xbase = pl.multiple_of(xbase, 128)
-        return x, y, xmin, ymin, ybase, xbase
+        return xmin, ymin, ybase, xbase
 
     copies = [None, None]
+    binfo = [None, None]
 
     def issue(j):
-        _, _, _, _, ybase, xbase = bounds(j)
+        info = bounds(j)
+        _, _, ybase, xbase = info
         slot = j % 2
         c = pltpu.make_async_copy(
             im_hbm.at[b, :, pl.ds(ybase, YB), pl.ds(xbase, XB)],
@@ -115,13 +120,16 @@ def _warp_band_kernel(x_ref, y_ref, im_hbm, out_ref, win2, sem2, *,
         )
         c.start()
         copies[slot] = c
+        binfo[slot] = info
 
     issue(0)
     for j in range(ntw):
+        xmin, ymin, ybase, xbase = binfo[j % 2]
         if j + 1 < ntw:
             issue(j + 1)
 
-        x, y, xmin, ymin, ybase, xbase = bounds(j)
+        x = x_ref[0, 0, j]                        # (1, N) pixel-space x
+        y = y_ref[0, 0, j]
         xroll = xmin - xbase                      # in [0, XB-1]
         yroll = ymin - ybase                      # in [0, YB-1]
         N = x.shape[-1]
@@ -325,6 +333,14 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
     YW = min(_ceil_mult(y_band, 8), Hp_im)
     XW = min(_ceil_mult(x_band, 8), Wp_im)
 
+    # Per-tile window bases, computed where XLA can fuse them into the
+    # map-producing computation (the in-kernel equivalent cost two cross-lane
+    # min reductions per tile, twice each — see `_warp_band_kernel`).
+    xmin_t = jnp.min(jnp.clip(jnp.floor(x_pix).astype(jnp.int32), 0, W - 1),
+                     axis=(-2, -1))                       # (B, nth, ntw)
+    ymin_t = jnp.min(jnp.clip(jnp.floor(y_pix).astype(jnp.int32), 0, H - 1),
+                     axis=(-2, -1))
+
     grid = (B, nth)
     out_dtype = jnp.uint8 if out_uint8 else jnp.float32
 
@@ -344,6 +360,13 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
                 kernel,
                 grid=grid,
                 in_specs=[
+                    # SMEM blocks must span the trailing two dims whole; the
+                    # table is tiny (nth*ntw i32), so each step takes all of
+                    # batch b's rows and indexes [0, program_id(1), j].
+                    pl.BlockSpec((1, nth, ntw), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.SMEM),   # xmin per tile
+                    pl.BlockSpec((1, nth, ntw), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.SMEM),   # ymin per tile
                     pl.BlockSpec((1, 1, ntw, 1, TILE_N),
                                  lambda b, i: (b, i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
@@ -369,7 +392,7 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
                     else pltpu.CompilerParams()
                 ),
                 interpret=interpret,
-            )(x_pix, y_pix, imc)
+            )(xmin_t, ymin_t, x_pix, y_pix, imc)
 
             # (B, nth, ntw, C, 1024) -> (B, Ho, Wo, C)
             out = out.reshape(B, nth, ntw, C, TILE_H, TILE_Wl)
