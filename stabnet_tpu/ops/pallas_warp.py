@@ -75,8 +75,8 @@ def _warp_band_kernel(xmin_ref, ymin_ref, x_ref, y_ref, im_hbm, out_ref,
     v5e), so the window carries YB = YW + 8 rows; a dynamic SUBLANE roll
     shifts row 0 onto the tile's minimum sample row and a static slice keeps
     the true YW-row spread.  The payoff is the MXU contraction's M dim:
-    C*YW = 120 at the production config is ONE 128-row MXU pass at 94% fill,
-    where C*YB = 144 needed two passes at 56%.
+    C*YW = 96 at the production config (tile_h 24, y-span 32) is ONE 128-row
+    MXU pass, where C*YB = 120-144 variants needed more rows or two passes.
 
     Grid/DMA structure: a per-tile grid pays the window-DMA issue+complete
     latency serially on every step (measured ~1.1 ms of the 6.4 ms 720p
@@ -474,9 +474,9 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                      "exact", "guard"),
 )
 def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
-                  y_band: int = 40, x_band: int = 96,
+                  y_band: int = 32, x_band: int = 96,
                   interpret: Optional[bool] = None,
-                  tile_h: int = 32, tile_w: int = 64,
+                  tile_h: int = 24, tile_w: int = 64,
                   exact: bool = False, guard: bool = True) -> jax.Array:
     """Production color path: channels-FIRST uint8 in, uint8 out.
 
@@ -518,9 +518,9 @@ def _tiled_resize_mat(n_in: int, n_out: int, tile: int) -> np.ndarray:
 )
 def warp_uint8_cf_lowres(imc: jax.Array, x_ndc_lr: jax.Array,
                          y_ndc_lr: jax.Array, out_hw: Tuple[int, int],
-                         y_band: int = 40, x_band: int = 96,
+                         y_band: int = 32, x_band: int = 96,
                          interpret: Optional[bool] = None,
-                         tile_h: int = 32, tile_w: int = 64,
+                         tile_h: int = 24, tile_w: int = 64,
                          exact: bool = False, guard: bool = True) -> jax.Array:
     """`warp_uint8_cf` fused with the map up-sample (the production path).
 
