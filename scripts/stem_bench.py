@@ -102,3 +102,25 @@ timeit(native, "native 7x7/2 13ch")
 timeit(fold_a, "fold A: 91ch (7,1)")
 timeit(fold_b, "fold B: 26ch (7,4)")
 timeit(native, "native again")
+
+
+def poly(x):
+    # Polyphase stride-2 decomposition: out = sum over (py,px in {0,1}) of a
+    # stride-1 VALID conv of the (py::2, px::2) subsampled input with the
+    # matching kernel phase.  Identical MAC terms to the native conv.
+    xp = jnp.pad(x, ((0, 0), (PB, PE + 1), (PB, PE + 1), (0, 0))).astype(DT)
+    out = None
+    for py in range(2):
+        for px in range(2):
+            sub = xp[:, py::2, px::2, :]                  # (S, 146, 259, 13)
+            kk = jnp.asarray(kern[py::2, px::2], DT)      # (4|3, 4|3, 13, 64)
+            o = jax.lax.conv_general_dilated(
+                sub, kk, (1, 1), "VALID", dimension_numbers=DN)
+            o = o[:, :144, :256]
+            out = o if out is None else out + o
+    return out + jnp.asarray(bias, DT)
+
+
+check(poly, "polyphase")
+timeit(poly, "polyphase 4x stride-1")
+timeit(native, "native again2")
