@@ -37,6 +37,7 @@ needed).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple
 
@@ -47,6 +48,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_W = 128
+
+# How `interpret=None` resolves.  None -> follow the host backend (the
+# default); True/False -> forced by `interpret_default` during an AOT trace.
+_INTERPRET_DEFAULT: Optional[bool] = None
+
+
+@contextlib.contextmanager
+def interpret_default(value: Optional[bool]):
+    """Force how `interpret=None` resolves inside this context.
+
+    `interpret=None` normally follows the HOST backend, which is wrong when
+    lowering for a DIFFERENT platform via `jax.export(platforms=...)`: a CPU
+    build host exporting a TPU artifact must emit the Mosaic kernels
+    (interpret=False), not bake the interpreter lowering into the artifact
+    (stream/export.py uses this; the interpreter path serializes as a serial
+    dynamic-slice emulation ~100x off the kernel's speed)."""
+    global _INTERPRET_DEFAULT
+    prev = _INTERPRET_DEFAULT
+    _INTERPRET_DEFAULT = value
+    try:
+        yield
+    finally:
+        _INTERPRET_DEFAULT = prev
+
+
+def _default_interpret() -> bool:
+    if _INTERPRET_DEFAULT is not None:
+        return _INTERPRET_DEFAULT
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 def _ceil_mult(x: int, m: int) -> int:
@@ -321,7 +351,7 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
     nth, ntw = x_pix.shape[1], x_pix.shape[2]
     Hp, Wp = nth * TILE_H, ntw * TILE_Wl
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = _default_interpret()
 
     # Pad the input so DMA windows can be tiling-aligned; sample indices are
     # clamped to the ORIGINAL extent, so the padding is never read as data.
@@ -697,7 +727,7 @@ def bilinear_splat_pallas(g: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     assert TILE_N % 128 == 0, (tile_h, tile_w)
     g0, x_ndc0, y_ndc0 = g, x_ndc, y_ndc
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = _default_interpret()
 
     Hp_im = _ceil_mult(H, 8)
     Wp_im = _ceil_mult(W, 128)

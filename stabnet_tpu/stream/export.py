@@ -87,8 +87,14 @@ def export_stream_step(model, variables, cfg: StabNetConfig,
     # therefore a slightly different numeric path than the live engine —
     # equal to it within solver roundoff (O(eps * cond) per homography).
     from stabnet_tpu.ops.homography import portable_solve
+    from stabnet_tpu.ops.pallas_warp import interpret_default
 
-    with portable_solve():
+    # When lowering for TPU the Pallas kernels must resolve to the Mosaic
+    # lowering regardless of the HOST backend: `interpret=None` follows
+    # jax.default_backend(), so a CPU build host exporting `--platforms tpu`
+    # would otherwise silently bake the interpreter (serial emulation)
+    # lowering into the artifact.
+    with portable_solve(), interpret_default(False if use_pallas else None):
         exported = jax_export.export(
             jax.jit(step),
             platforms=list(platforms) if platforms else None,

@@ -129,6 +129,15 @@ def test_cross_platform_tpu_export(tmp_path):
     data = export_stream_step(model, variables, CFG, OUT_HW, streams=1,
                               platforms=("tpu",))
     assert len(data) > 0
+    # "Full-performance" must mean the MOSAIC kernels, not the interpreter
+    # lowering of the Pallas warp: on this CPU test host `interpret=None`
+    # resolves to True, so without the export-time interpret_default(False)
+    # override the artifact would serialize a serial dynamic-slice emulation
+    # of the warp (and this assert is what catches that regression).
+    from jax import export as jax_export
+
+    mlir = jax_export.deserialize(bytearray(data)).mlir_module()
+    assert "tpu_custom_call" in mlir
     path = str(tmp_path / "tpu.stbx")
     save_artifact(path, data, CFG, OUT_HW, streams=1, refine=1,
                   platforms=("tpu",))
