@@ -38,6 +38,7 @@ needed).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 from typing import Optional, Tuple
 
@@ -51,7 +52,10 @@ TILE_W = 128
 
 # How `interpret=None` resolves.  None -> follow the host backend (the
 # default); True/False -> forced by `interpret_default` during an AOT trace.
-_INTERPRET_DEFAULT: Optional[bool] = None
+# A ContextVar so concurrent exports/traces in other threads (or nested
+# contexts) never leak the forced value into each other.
+_INTERPRET_DEFAULT: contextvars.ContextVar = contextvars.ContextVar(
+    "stabnet_pallas_interpret_default", default=None)
 
 
 @contextlib.contextmanager
@@ -64,18 +68,17 @@ def interpret_default(value: Optional[bool]):
     (interpret=False), not bake the interpreter lowering into the artifact
     (stream/export.py uses this; the interpreter path serializes as a serial
     dynamic-slice emulation ~100x off the kernel's speed)."""
-    global _INTERPRET_DEFAULT
-    prev = _INTERPRET_DEFAULT
-    _INTERPRET_DEFAULT = value
+    token = _INTERPRET_DEFAULT.set(value)
     try:
         yield
     finally:
-        _INTERPRET_DEFAULT = prev
+        _INTERPRET_DEFAULT.reset(token)
 
 
 def _default_interpret() -> bool:
-    if _INTERPRET_DEFAULT is not None:
-        return _INTERPRET_DEFAULT
+    override = _INTERPRET_DEFAULT.get()
+    if override is not None:
+        return override
     return jax.default_backend() not in ("tpu", "axon")
 
 
@@ -458,11 +461,6 @@ def _sample_core_tiled(imc: jax.Array, x_pix: jax.Array, y_pix: jax.Array,
     return chain(tiers)()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
-                     "exact", "guard", "strict_edge"),
-)
 def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                            y_band: int = 24, x_band: int = 80,
                            interpret: Optional[bool] = None,
@@ -492,17 +490,32 @@ def bilinear_sample_pallas(im: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
       (B, Ho, Wo, C) sampled images, numerically equal to the XLA path
       (matmul rounding ~1e-6, boundary semantics included).
     """
+    # Resolve interpret BEFORE the jit boundary: `None` must not be the
+    # static cache key, or a trace cached under one interpret_default wins
+    # silently over a later context with the other value (a CPU build host
+    # that traced before exporting would bake the ~100x interpreter lowering
+    # into the artifact).
+    if interpret is None:
+        interpret = _default_interpret()
+    return _bilinear_sample_pallas_jit(im, x_ndc, y_ndc, y_band, x_band,
+                                       interpret, tile_h, tile_w, exact,
+                                       guard, strict_edge)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
+                     "exact", "guard", "strict_edge"),
+)
+def _bilinear_sample_pallas_jit(im, x_ndc, y_ndc, y_band, x_band,
+                                interpret: bool, tile_h, tile_w, exact,
+                                guard, strict_edge) -> jax.Array:
     imc = jnp.moveaxis(im.astype(jnp.float32), -1, 1)      # (B, C, H, W)
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
                         tile_h, exact, out_uint8=False, tile_w=tile_w,
                         guard=guard, strict_edge=strict_edge)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
-                     "exact", "guard"),
-)
 def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                   y_band: int = 32, x_band: int = 96,
                   interpret: Optional[bool] = None,
@@ -518,6 +531,19 @@ def warp_uint8_cf(imc: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     Returns (B, Ho, Wo, C) uint8.
     """
     assert imc.dtype == jnp.uint8
+    if interpret is None:
+        interpret = _default_interpret()  # resolve before the jit cache key
+    return _warp_uint8_cf_jit(imc, x_ndc, y_ndc, y_band, x_band, interpret,
+                              tile_h, tile_w, exact, guard)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("y_band", "x_band", "interpret", "tile_h", "tile_w",
+                     "exact", "guard"),
+)
+def _warp_uint8_cf_jit(imc, x_ndc, y_ndc, y_band, x_band, interpret: bool,
+                       tile_h, tile_w, exact, guard) -> jax.Array:
     return _sample_core(imc, x_ndc, y_ndc, y_band, x_band, interpret,
                         tile_h, exact, out_uint8=True, tile_w=tile_w,
                         guard=guard)
@@ -541,11 +567,6 @@ def _tiled_resize_mat(n_in: int, n_out: int, tile: int) -> np.ndarray:
     return M
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("out_hw", "y_band", "x_band", "interpret", "tile_h",
-                     "tile_w", "exact", "guard"),
-)
 def warp_uint8_cf_lowres(imc: jax.Array, x_ndc_lr: jax.Array,
                          y_ndc_lr: jax.Array, out_hw: Tuple[int, int],
                          y_band: int = 32, x_band: int = 96,
@@ -572,6 +593,21 @@ def warp_uint8_cf_lowres(imc: jax.Array, x_ndc_lr: jax.Array,
     `resize_bilinear_bhw` and calling `warp_uint8_cf` (rounding aside).
     """
     assert imc.dtype == jnp.uint8
+    if interpret is None:
+        interpret = _default_interpret()  # resolve before the jit cache key
+    return _warp_uint8_cf_lowres_jit(imc, x_ndc_lr, y_ndc_lr, out_hw, y_band,
+                                     x_band, interpret, tile_h, tile_w, exact,
+                                     guard)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "y_band", "x_band", "interpret", "tile_h",
+                     "tile_w", "exact", "guard"),
+)
+def _warp_uint8_cf_lowres_jit(imc, x_ndc_lr, y_ndc_lr, out_hw, y_band, x_band,
+                              interpret: bool, tile_h, tile_w, exact,
+                              guard) -> jax.Array:
     B, C, H, W = imc.shape
     Ho, Wo = out_hw
     w_lr = x_ndc_lr.shape[2]
@@ -694,11 +730,6 @@ def _splat_kernel(x_ref, y_ref, g_ref, acc_in, out_hbm, win, sem, *,
     write.wait()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("im_hw", "y_band", "x_band", "interpret", "tile_h",
-                     "tile_w", "guard"),
-)
 def bilinear_splat_pallas(g: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
                           im_hw: Tuple[int, int], y_band: int = 48,
                           x_band: int = 152,
@@ -721,13 +752,25 @@ def bilinear_splat_pallas(g: jax.Array, x_ndc: jax.Array, y_ndc: jax.Array,
     transposed one-hot matmul per tile, accumulating windows in HBM across
     the (sequential) grid.
     """
+    if interpret is None:
+        interpret = _default_interpret()  # resolve before the jit cache key
+    return _bilinear_splat_pallas_jit(g, x_ndc, y_ndc, im_hw, y_band, x_band,
+                                      interpret, tile_h, tile_w, guard)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("im_hw", "y_band", "x_band", "interpret", "tile_h",
+                     "tile_w", "guard"),
+)
+def _bilinear_splat_pallas_jit(g, x_ndc, y_ndc, im_hw, y_band, x_band,
+                               interpret: bool, tile_h, tile_w,
+                               guard) -> jax.Array:
     H, W = im_hw
     B, Ho, Wo, C = g.shape
     TILE_N = tile_h * tile_w
     assert TILE_N % 128 == 0, (tile_h, tile_w)
     g0, x_ndc0, y_ndc0 = g, x_ndc, y_ndc
-    if interpret is None:
-        interpret = _default_interpret()
 
     Hp_im = _ceil_mult(H, 8)
     Wp_im = _ceil_mult(W, 128)

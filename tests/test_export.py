@@ -123,17 +123,24 @@ def test_cross_platform_tpu_export(tmp_path):
     """A CPU host lowers a full-performance TPU artifact (Pallas warp
     kernels Mosaic-lower without a device); the platform list rides in the
     artifact metadata."""
+    from stabnet_tpu.ops.pallas_warp import interpret_default
     from stabnet_tpu.stream.export import load_artifact, save_artifact
 
     model, variables = _setup()
-    data = export_stream_step(model, variables, CFG, OUT_HW, streams=1,
-                              platforms=("tpu",))
+    # Poison the ambient default to the interpreter so the check is
+    # host-independent: on a TPU CI host `interpret=None` already resolves
+    # to False and the assert below would pass whether or not the export's
+    # own interpret_default(False) override works.  Forcing True here means
+    # the assert passes ONLY if the export path overrides it.
+    with interpret_default(True):
+        data = export_stream_step(model, variables, CFG, OUT_HW, streams=1,
+                                  platforms=("tpu",))
     assert len(data) > 0
     # "Full-performance" must mean the MOSAIC kernels, not the interpreter
-    # lowering of the Pallas warp: on this CPU test host `interpret=None`
-    # resolves to True, so without the export-time interpret_default(False)
-    # override the artifact would serialize a serial dynamic-slice emulation
-    # of the warp (and this assert is what catches that regression).
+    # lowering of the Pallas warp: without the export-time
+    # interpret_default(False) override the artifact would serialize a
+    # serial dynamic-slice emulation of the warp (and this assert is what
+    # catches that regression).
     from jax import export as jax_export
 
     mlir = jax_export.deserialize(bytearray(data)).mlir_module()

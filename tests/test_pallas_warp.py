@@ -274,3 +274,61 @@ def test_const_maps_vjp_matches_xla():
     gp = np.asarray(jax.grad(f_p)(im))
     gx = np.asarray(jax.grad(f_x)(im))
     np.testing.assert_allclose(gp, gx, atol=2e-6)
+
+
+def test_interpret_resolved_before_jit_cache(monkeypatch):
+    """A trace cached under one interpret_default must NOT satisfy a later
+    call under the other value (regression: interpret=None was the static
+    cache key and the global was read at trace time, so a CPU build host
+    that traced the warp before exporting baked the ~100x interpreter
+    lowering into the 'full-performance' TPU artifact)."""
+    rng = np.random.RandomState(3)
+    B, H, W, C = 1, 8, 128, 1
+    im = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xm = jnp.asarray((np.linspace(-1, 1, W, dtype=np.float32) * 0.9)
+                     [None, None].repeat(H, 1))
+    ym = jnp.asarray((np.linspace(-1, 1, H, dtype=np.float32) * 0.9)
+                     [None, :, None].repeat(W, 2))
+
+    with pallas_warp.interpret_default(True):
+        pallas_warp.bilinear_sample_pallas(im, xm, ym, y_band=8, x_band=128,
+                                           guard=False)  # cache a True trace
+
+    seen = []
+    real = pallas_warp.pl.pallas_call
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("interpret"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_warp.pl, "pallas_call", spy)
+    with pallas_warp.interpret_default(False):
+        try:
+            pallas_warp.bilinear_sample_pallas(im, xm, ym, y_band=8,
+                                               x_band=128, guard=False)
+        except Exception:
+            # Mosaic may not COMPILE on a CPU-only host; the trace (which is
+            # what records `interpret`) has already happened by then.
+            pass
+    assert seen and all(v is False for v in seen), seen
+
+
+def test_interpret_default_is_context_local():
+    """The override composes across threads: a forced value in one thread
+    must not leak into another thread's resolution."""
+    import threading
+
+    results = {}
+
+    def probe(name):
+        results[name] = pallas_warp._default_interpret()
+
+    ambient = pallas_warp._default_interpret()
+    with pallas_warp.interpret_default(not ambient):
+        assert pallas_warp._default_interpret() == (not ambient)
+        t = threading.Thread(target=probe, args=("other",))
+        t.start()
+        t.join()
+    # The sibling thread saw the ambient default, not this thread's override.
+    assert results["other"] == ambient
+    assert pallas_warp._default_interpret() == ambient
