@@ -113,6 +113,12 @@ def train(cfg: StabNetConfig,
                     "random)", imagenet_ckpt)
 
     mesh = data_mesh() if use_mesh else None
+    if mesh is not None:
+        from stabnet_tpu.train.state import replicate_state
+
+        # Mesh-annotate the state avals up front, or step 1 re-traces
+        # (see create_train_state).
+        state = replicate_state(state, mesh)
     step_fn = make_train_step(model, cfg, mesh=mesh)
     eval_fn = make_eval_step(model, cfg, mesh=mesh)
     metrics = MetricsWriter(cfg.log_dir, tensorboard=tensorboard)

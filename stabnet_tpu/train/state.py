@@ -37,7 +37,16 @@ def make_optimizer(cfg: StabNetConfig) -> optax.GradientTransformation:
     return optax.adam(lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8)
 
 
-def create_train_state(model, cfg: StabNetConfig, rng: jax.Array) -> TrainState:
+def create_train_state(model, cfg: StabNetConfig, rng: jax.Array,
+                       mesh=None) -> TrainState:
+    """Fresh TrainState; with `mesh`, placed replicated over it.
+
+    The mesh placement matters for compile time, not just locality: the
+    mesh-sharded train step returns state avals annotated with the mesh
+    (`{Auto: ('data',)}`), so an initial state built WITHOUT the mesh has
+    different avals and triggers a full second trace+compile on step 1
+    (measured ~90 s on CPU, and the same double-compile on TPU).
+    """
     from stabnet_tpu.models.stabnet import init_variables
 
     variables = init_variables(model, cfg, rng)
@@ -46,9 +55,19 @@ def create_train_state(model, cfg: StabNetConfig, rng: jax.Array) -> TrainState:
     opt_state = make_optimizer(cfg).init(params)
     import jax.numpy as jnp
 
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
     )
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+    return state
+
+
+def replicate_state(state: TrainState, mesh) -> TrainState:
+    """Place every leaf replicated over `mesh` (see create_train_state)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
