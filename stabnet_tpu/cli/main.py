@@ -115,6 +115,18 @@ def _add_stabilize_args(p: argparse.ArgumentParser):
     p.add_argument("--batch-sharded", action="store_true",
                    help="shard the batch over all local devices "
                         "(S divisible by device count)")
+    p.add_argument("--stream-chunk", type=int, default=None, metavar="K",
+                   help="constant-host-memory file serving: read, stabilize, "
+                        "and write K frames at a time (production path only; "
+                        "host RAM bounded by K for arbitrarily long clips)")
+    p.add_argument("--device-gray", action="store_true",
+                   help="derive the model-scale gray on device from the "
+                        "uploaded color frame (kills the separate per-frame "
+                        "gray upload; < 1/255 from the host conversion)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable the 1-frame readback lag in per-frame "
+                        "serving (pipelining is on by default in production "
+                        "mode; results are identical either way)")
 
 
 def cmd_train(args):
@@ -194,6 +206,10 @@ def cmd_stabilize(args):
             raise SystemExit(
                 "--from-export serves the production path; the history "
                 "ablations need a live engine (--model-dir/--tf-checkpoint)")
+        if args.device_gray:
+            raise SystemExit(
+                "--device-gray needs a live engine: export artifacts bake "
+                "the (state, gray, color) step signature")
         data, meta = load_artifact(args.from_export)
         cfg = get_config(meta.get("config", args.config))
         out_hw = meta.get("out_hw") or output_size
@@ -247,10 +263,16 @@ def cmd_stabilize(args):
         random_black=args.random_black, deploy_vis=args.deploy_vis,
         output_size=output_size,
         collect_input_gray=args.metrics,
+        pipelined=False if args.no_pipeline else None,
+        device_gray=args.device_gray,
     )
     driver = StreamDriver(engine, opt)
 
     videos = _read_video_lists(args.test_list)
+    if args.stream_chunk is not None and (args.batch > 1 or args.metrics):
+        raise SystemExit("--stream-chunk is the single-clip constant-memory "
+                         "path; it keeps no frames in host RAM, so --batch "
+                         "and --metrics are incompatible with it")
     if args.batch > 1:
         _stabilize_batched(args, driver, videos)
         return
@@ -261,6 +283,7 @@ def cmd_stabilize(args):
                 os.path.join(args.prefix, "unstable", name),
                 args.output_dir,
                 stable_path=os.path.join(args.prefix, "stable", name),
+                stream_chunk=args.stream_chunk,
             )
             if args.metrics:
                 import json

@@ -20,6 +20,7 @@ from stabnet_tpu.ops.crop import max_clear_rect
 from stabnet_tpu.stream import video_io
 from stabnet_tpu.stream.engine import StreamEngine
 from stabnet_tpu.utils import get_logger
+from stabnet_tpu.utils.profiling import StageTimer
 
 logger = get_logger()
 
@@ -38,12 +39,27 @@ class DeployOptions:
     output_size: Optional[Tuple[int, int]] = None  # (H, W); None = source size
     collect_input_gray: bool = False  # retain model-scale inputs in ClipResult
                                       # (O(T) host memory; `stabilize --metrics`)
+    # Low-latency serving knobs (production path; no reference equivalent —
+    # the reference blocks on every sess.run, deploy_bundle.py:285-287):
+    pipelined: Optional[bool] = None  # 1-frame readback lag: read frame t-1's
+                                      # output after dispatching step t (JAX
+                                      # async dispatch overlaps upload/compute/
+                                      # readback).  None = auto: on whenever no
+                                      # ablation/vis mode needs same-step host
+                                      # feedback.  Results are identical.
+    device_gray: bool = False         # derive the model-scale gray on device
+                                      # from the uploaded color frame instead
+                                      # of uploading a separate 590 KB f32
+                                      # gray (engine.gray_from_color; < 1/255
+                                      # from the host path)
 
 
 @dataclasses.dataclass
 class ClipResult:
-    frames: np.ndarray            # (T, Ho, Wo, 3) uint8 stabilized frames
-    cropped: np.ndarray           # (T, Hc, Wc, 3) uint8 black-free crop
+    frames: Optional[np.ndarray]  # (T, Ho, Wo, 3) uint8 stabilized frames
+                                  # (None in constant-memory streaming mode,
+                                  # where frames go straight to disk)
+    cropped: Optional[np.ndarray] # (T, Hc, Wc, 3) uint8 black-free crop
     crop_rect: Tuple[int, int, int, int]
     all_black: np.ndarray         # (H, W) accumulated black counts
     fps_net: float                # net-step throughput (frames/s)
@@ -51,6 +67,14 @@ class ClipResult:
     input_gray: Optional[np.ndarray] = None  # (T, H, W) model-scale inputs
                                              # (reused by `stabilize --metrics`
                                              # so the clip is decoded once)
+    num_frames: int = 0           # total output frames (incl. warm-up frame 0)
+    stage_summary: Optional[dict] = None  # per-frame latency decomposition
+                                          # ("pre"/"dispatch"/"readback" p50
+                                          # etc.; StageTimer.summary())
+
+    def __post_init__(self):
+        if self.frames is not None and not self.num_frames:
+            self.num_frames = len(self.frames)
 
 
 def _bounce(delta: int, bound: int, speed: int) -> Tuple[int, int]:
@@ -93,7 +117,6 @@ class StreamDriver:
             [video_io.to_gray_train(unstable[0], cfg.height, cfg.width, 1.0)]
             if opt.collect_input_gray else None)
         vis_frames: List[np.ndarray] = []
-        tot_net = 0.0
 
         # Ablation bookkeeping (host-side history, only when needed).
         host_hist = None
@@ -112,53 +135,86 @@ class StreamDriver:
                 "for this clip (the occlusion applies to the stable history "
                 "frames; pair it with --infer-with-stable)")
 
+        # Same-step host feedback (history ablations, vis mosaics) cannot lag
+        # a frame behind; everything else can and should (JAX async dispatch
+        # overlaps frame t's upload/compute with frame t-1's readback).
+        needs_sync = host_hist is not None or opt.deploy_vis
+        pipelined = opt.pipelined
+        if pipelined is None:
+            pipelined = not needs_sync
+        elif pipelined and needs_sync:
+            raise ValueError(
+                "pipelined serving defers each frame's readback by one step; "
+                "history ablations and --deploy-vis need the output on host "
+                "before the next frame (drop those modes, or pipelined=False)")
+
+        timers = StageTimer()
+        pending = None  # pipelined mode: the not-yet-read previous StepOutput
         # At t=1 the "last output" is the warm-up frame replicated into the
         # history (deploy_bundle.py:216-224).
         prev_fed_back: np.ndarray = first_gray.copy()
         for t in range(1, T):
             frame = unstable[t]
-            cur_gray = video_io.to_gray_train(frame, cfg.height, cfg.width, 1.0)
-            if in_grays is not None:
-                in_grays.append(cur_gray)
-            # --random-black occludes the STABLE train frame that feeds the
-            # history under --infer-with-stable (deploy_bundle.py:249-256) —
-            # a robustness test of the history channels, not of the current
-            # frame.  Built here so the vis mosaic shows the occlusion too.
-            stable_gray = None
-            if stable is not None and t < len(stable):
-                stable_gray = video_io.to_gray_train(
-                    stable[t], cfg.height, cfg.width, cfg.crop_rate)
-                if opt.random_black is not None:
-                    delta, speed = _bounce(delta, 50, speed)
-                    w = stable_gray.shape[1]
-                    stable_gray[:, delta:] = stable_gray[:, : w - delta]
-                    stable_gray[:, :delta] = -1.0
+            with timers.stage("pre"):
+                # device_gray: the engine derives the model-scale gray from
+                # the uploaded color frame; host conversion is then needed
+                # only where the HOST consumes it (metrics, vis).
+                cur_gray = None
+                if not opt.device_gray or in_grays is not None or opt.deploy_vis:
+                    cur_gray = video_io.to_gray_train(
+                        frame, cfg.height, cfg.width, 1.0)
+                if in_grays is not None:
+                    in_grays.append(cur_gray)
+                # --random-black occludes the STABLE train frame that feeds
+                # the history under --infer-with-stable (deploy_bundle.py:
+                # 249-256) — a robustness test of the history channels, not
+                # of the current frame.  Built here so the vis mosaic shows
+                # the occlusion too.
+                stable_gray = None
+                if stable is not None and t < len(stable):
+                    stable_gray = video_io.to_gray_train(
+                        stable[t], cfg.height, cfg.width, cfg.crop_rate)
+                    if opt.random_black is not None:
+                        delta, speed = _bounce(delta, 50, speed)
+                        w = stable_gray.shape[1]
+                        stable_gray[:, delta:] = stable_gray[:, : w - delta]
+                        stable_gray[:, :delta] = -1.0
 
-            override = None
-            if host_hist is not None:
-                offs = [i for i in cfg.indices if i > 0]
-                chans = [host_masks[-i] for i in offs] if cfg.input_mask else []
-                chans += [host_hist[-i] for i in offs]
-                override = np.stack(chans, axis=-1)[None]
-                if opt.max_span > 1:
-                    if span_stack is None or span_age >= opt.max_span:
-                        span_stack, span_age = override, 0
-                    override = span_stack
-                    span_age += 1
+                override = None
+                if host_hist is not None:
+                    offs = [i for i in cfg.indices if i > 0]
+                    chans = [host_masks[-i] for i in offs] if cfg.input_mask else []
+                    chans += [host_hist[-i] for i in offs]
+                    override = np.stack(chans, axis=-1)[None]
+                    if opt.max_span > 1:
+                        if span_stack is None or span_age >= opt.max_span:
+                            span_stack, span_age = override, 0
+                        override = span_stack
+                        span_age += 1
 
-            t0 = time.perf_counter()
-            state, out = self.engine.step(
-                state, cur_gray[None], frame[None], history_override=override
-            )
-            warped = np.asarray(out.warped_color[0])
-            tot_net += time.perf_counter() - t0
+            with timers.stage("dispatch"):
+                state, out = self.engine.step(
+                    state, None if opt.device_gray else cur_gray[None],
+                    frame[None], history_override=override,
+                )
 
+            if pipelined:
+                # Read frame t-1's output only after dispatching step t.
+                if pending is not None:
+                    with timers.stage("readback"):
+                        out_frames.append(np.asarray(pending.warped_color[0]))
+                pending = out
+                continue
+
+            with timers.stage("readback"):
+                warped = np.asarray(out.warped_color[0])
             out_frames.append(warped)
             if opt.deploy_vis:
                 vis_frames.append(
                     self._vis_mosaic(out, cur_gray, stable_gray, prev_fed_back))
-            prev_fed_back = (np.asarray(out.output_gray[0])
-                             + np.asarray(out.black[0]) * (-1.0))
+            if needs_sync:
+                prev_fed_back = (np.asarray(out.output_gray[0])
+                                 + np.asarray(out.black[0]) * (-1.0))
 
             if host_hist is not None:
                 black = np.asarray(out.black[0])
@@ -173,6 +229,10 @@ class StreamDriver:
                 host_hist.pop(0)
                 host_masks.pop(0)
 
+        if pending is not None:
+            with timers.stage("readback"):
+                out_frames.append(np.asarray(pending.warped_color[0]))
+
         all_black = np.asarray(state.all_black[0])
         rect = max_clear_rect(all_black)
         # Scale the model-resolution rectangle to the output resolution.
@@ -186,6 +246,9 @@ class StreamDriver:
             int(np.ceil(left * sx)) : int(np.floor((right + 1) * sx)),
             :,
         ]
+        summary = timers.summary()
+        tot_net = (summary.get("dispatch", {}).get("total_s", 0.0)
+                   + summary.get("readback", {}).get("total_s", 0.0))
         fps_net = (T - 1) / tot_net if tot_net > 0 else float("inf")
         return ClipResult(
             frames=frames_arr,
@@ -195,6 +258,7 @@ class StreamDriver:
             fps_net=fps_net,
             vis=np.stack(vis_frames) if vis_frames else None,
             input_gray=np.stack(in_grays) if in_grays is not None else None,
+            stage_summary=summary,
         )
 
     # -- batch serving (throughput mode) -------------------------------------
@@ -341,11 +405,17 @@ class StreamDriver:
 
     # -- file interface (reference CLI behavior) -----------------------------
     def stabilize_file(self, unstable_path: str, output_dir: str,
-                       stable_path: Optional[str] = None) -> ClipResult:
+                       stable_path: Optional[str] = None,
+                       stream_chunk: Optional[int] = None) -> ClipResult:
         """Stabilize a video file, writing `<name>.avi` and `<name>_cut.avi`.
 
-        Reference: deploy_bundle.py:183-371.
+        Reference: deploy_bundle.py:183-371.  `stream_chunk=K` switches to
+        constant-host-memory serving: frames are read, stabilized, and
+        written K at a time (`_stabilize_file_streaming`).
         """
+        if stream_chunk is not None:
+            return self._stabilize_file_streaming(unstable_path, output_dir,
+                                                  stream_chunk)
         reader = video_io.VideoReader(unstable_path)
         frames = np.stack(list(reader))
         reader.close()
@@ -370,6 +440,114 @@ class StreamDriver:
         logger.info("%s: %d frames, net fps=%.1f, crop=%s",
                     name, len(res.frames), res.fps_net, res.crop_rect)
         return res
+
+    def _stabilize_file_streaming(self, unstable_path: str, output_dir: str,
+                                  chunk: int) -> ClipResult:
+        """Constant-host-memory file serving: read K frames, scan, write K.
+
+        The reference buffers every output frame in RAM to write the final
+        cropped video (deploy_bundle.py:368-371 iterates its in-memory
+        `frames` list), so clip length bounds host memory.  Here each
+        K-frame segment's warped output goes straight to the MJPG writer as
+        its on-device scan completes, and the `_cut.avi` pass re-reads the
+        just-written output file — host memory is bounded by K regardless of
+        clip length (the device side was already bounded via
+        `engine.continue_clip`).  One documented deviation: the cropped
+        video crops the ENCODED output frames (one extra MJPG decode), not
+        the raw warped frames.
+
+        Production path only (the scan has no same-step host feedback for
+        ablations or vis; use the buffered mode for those).
+        """
+        cfg, opt = self.cfg, self.opt
+        if (opt.infer_with_stable or opt.infer_with_last or opt.max_span > 1
+                or opt.random_black is not None or opt.deploy_vis
+                or opt.start_with_stable or opt.collect_input_gray):
+            raise ValueError(
+                "streaming file serving runs the production whole-clip scan; "
+                "ablation/vis/metrics modes need the buffered per-frame loop "
+                "(drop --stream-chunk)")
+        if chunk < 1:
+            raise ValueError(f"stream_chunk must be >= 1, got {chunk}")
+        if not hasattr(self.engine, "continue_clip"):
+            raise ValueError("streaming file serving needs a live engine "
+                             "(exported artifacts step frame-wise)")
+
+        reader = video_io.VideoReader(unstable_path)
+        first = reader.read()
+        if first is None:
+            reader.close()
+            raise ValueError(f"empty video: {unstable_path}")
+        out_hw = tuple(opt.output_size or first.shape[:2])
+        name = os.path.basename(unstable_path)
+        prod = os.path.join(output_dir, "output")
+        os.makedirs(prod, exist_ok=True)
+        out_path = os.path.join(prod, name + ".avi")
+        writer = (video_io.VideoWriter(out_path, reader.fps, out_hw)
+                  if video_io.HAVE_CV2 else video_io.ArrayVideoWriter())
+
+        first_gray = video_io.to_gray_train(first, cfg.height, cfg.width,
+                                            cfg.crop_rate)
+        state = self.engine.init(first_gray[None])
+        writer.write(self._resize_color(first, out_hw))
+        n_out = 1
+        tot_net = 0.0
+        done = False
+        while not done:
+            grays = np.zeros((1, chunk, cfg.height, cfg.width), np.float32)
+            colors = np.zeros((1, chunk, *out_hw, 3), np.uint8)
+            valid = np.zeros((1, chunk), bool)
+            for k in range(chunk):
+                f = reader.read()
+                if f is None:
+                    done = True
+                    break
+                grays[0, k] = video_io.to_gray_train(f, cfg.height, cfg.width,
+                                                     1.0)
+                colors[0, k] = self._resize_color(f, out_hw)
+                valid[0, k] = True
+            n_valid = int(valid.sum())
+            if n_valid == 0:
+                break
+            # Pad the tail segment by repeating the last real frame; `valid`
+            # masks the padded steps out of the state and crop accumulator,
+            # and the SAME compiled executable serves every segment.
+            grays[0, n_valid:] = grays[0, n_valid - 1]
+            colors[0, n_valid:] = colors[0, n_valid - 1]
+            t0 = time.perf_counter()
+            warped, state = self.engine.continue_clip(state, grays, colors,
+                                                      valid=valid)
+            warped_np = np.asarray(warped[0, :n_valid])
+            tot_net += time.perf_counter() - t0
+            for f in warped_np:
+                writer.write(f)
+            n_out += n_valid
+        writer.close()
+        reader.close()
+
+        all_black = np.asarray(state.all_black[0])
+        rect = max_clear_rect(all_black)
+        top, left, bot, right = rect
+        sy = out_hw[0] / cfg.height
+        sx = out_hw[1] / cfg.width
+        ys = slice(int(np.ceil(top * sy)), int(np.floor((bot + 1) * sy)))
+        xs = slice(int(np.ceil(left * sx)), int(np.floor((right + 1) * sx)))
+        cut_path = os.path.join(prod, name + "_cut.avi")
+        if video_io.HAVE_CV2:
+            cut_reader = video_io.VideoReader(out_path, allow_half_rate=False)
+            cut_hw = (ys.stop - ys.start, xs.stop - xs.start)
+            cut_writer = video_io.VideoWriter(cut_path, reader.fps, cut_hw)
+            for f in cut_reader:
+                cut_writer.write(f[ys, xs])
+            cut_reader.close()
+            cut_writer.close()
+
+        fps_net = (n_out - 1) / tot_net if tot_net > 0 else float("inf")
+        logger.info("%s: %d frames (streamed, chunk=%d), net fps=%.1f, "
+                    "crop=%s", name, n_out, chunk, fps_net, rect)
+        return ClipResult(frames=None, cropped=None, crop_rect=rect,
+                          all_black=all_black, fps_net=fps_net,
+                          num_frames=n_out)
 
     # -- helpers -------------------------------------------------------------
     @staticmethod

@@ -38,7 +38,6 @@ from stabnet_tpu.ops import bilinear_sample, transformer
 from stabnet_tpu.ops.crop import max_clear_rect
 from stabnet_tpu.ops.mesh import theta_to_mesh
 from stabnet_tpu.ops.resize import resize_bilinear_bhw as resize_bilinear
-from stabnet_tpu.utils.profiling import StageTimer
 
 
 class StreamState(NamedTuple):
@@ -109,6 +108,27 @@ def assemble_input(state: StreamState, cur_gray: jax.Array,
 
 def _use_pallas_default() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+def gray_from_color(color: jax.Array, hw: Tuple[int, int],
+                    channels_first: bool = False) -> jax.Array:
+    """Model-scale gray derived ON DEVICE from the full-res color frame.
+
+    BT.601 luma + half-pixel bilinear down-resize, the same math the host
+    `video_io.to_gray_train` performs with cv2 (reference: cvt_img2train,
+    config.py:6-21).  Two intentional precision deviations from the host
+    path: the gray intermediate stays float (cv2 rounds it to uint8) and the
+    resize runs in f32 (cv2 uses fixed point), each worth < 1/255.  Used by
+    the low-latency serving mode to kill the separate 590 KB f32 gray upload
+    per frame — the color frame is uploaded anyway.
+    """
+    colf = color.astype(jnp.float32)
+    if channels_first:
+        b, g, r = colf[:, 0], colf[:, 1], colf[:, 2]
+    else:
+        b, g, r = colf[..., 0], colf[..., 1], colf[..., 2]
+    gray = 0.114 * b + 0.587 * g + 0.299 * r
+    return resize_bilinear(gray, hw) / 255.0 - 0.5
 
 
 def _sample(im: jax.Array, x_map: jax.Array, y_map: jax.Array,
@@ -191,7 +211,9 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
     """Process one frame per stream.  Pure function; jit over (state, frames).
 
     Args:
-      cur_gray: (S, H, W) current unstable frame, model scale.
+      cur_gray: (S, H, W) current unstable frame, model scale — or None to
+        derive it on device from `cur_color` (`gray_from_color`; the
+        low-latency mode's single-upload path).
       cur_color: (S, Hf, Wf, 3) uint8 full-res current frame.
       refine: static number of self-refinement passes
         (deploy_bundle.py:284-295).
@@ -199,6 +221,9 @@ def stream_step(model, variables, state: StreamState, cur_gray: jax.Array,
         history channels (ablation modes).
     """
     H, W = cfg.height, cfg.width
+    if cur_gray is None:
+        cur_gray = gray_from_color(cur_color, (H, W),
+                                   channels_first=color_channels_first)
     if history_override is None:
         x = assemble_input(state, cur_gray, cfg)
     else:
@@ -364,7 +389,6 @@ class StreamEngine:
             ),
             donate_argnames=("state",),
         )
-        self.timer = StageTimer()
         self._clip = jax.jit(
             functools.partial(
                 stabilize_clip_device, model, cfg=cfg, refine=refine,
@@ -387,16 +411,19 @@ class StreamEngine:
             jnp.asarray(first_gray)
         )
 
-    def step(self, state: StreamState, cur_gray: np.ndarray,
+    def step(self, state: StreamState, cur_gray: Optional[np.ndarray],
              cur_color: np.ndarray,
              history_override: Optional[np.ndarray] = None
              ) -> Tuple[StreamState, StepOutput]:
+        """One frame per stream.  `cur_gray=None` derives the model-scale gray
+        on device from `cur_color` (the low-latency single-upload path)."""
+        gray = None if cur_gray is None else jnp.asarray(cur_gray)
         if history_override is None:
-            return self._step(self.variables, state, jnp.asarray(cur_gray),
+            return self._step(self.variables, state, gray,
                               jnp.asarray(cur_color))
         # Same jitted callable; the override variant is simply a second trace.
         return self._step(
-            self.variables, state, jnp.asarray(cur_gray),
+            self.variables, state, gray,
             jnp.asarray(cur_color), history_override=jnp.asarray(history_override),
         )
 

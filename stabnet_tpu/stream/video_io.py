@@ -65,14 +65,17 @@ class VideoReader:
     (deploy_bundle.py:190-195,309-311); `half_rate` reproduces that.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, allow_half_rate: bool = True):
+        """`allow_half_rate=False` reads every frame regardless of fps —
+        required when re-reading our OWN output (the cut pass), where the
+        reference's >40 fps drop rule must not apply."""
         if not HAVE_CV2:
             raise RuntimeError("OpenCV not available; use ArrayVideoReader")
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         self.cap = cv2.VideoCapture(path)
         self.fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
-        self.half_rate = self.fps > 40
+        self.half_rate = allow_half_rate and self.fps > 40
         if self.half_rate:
             self.fps /= 2
 

@@ -48,8 +48,9 @@ class Timer:
 class StageTimer:
     """Named per-stage timers with percentile summaries.
 
-    Used by the train loop ("data" vs. "step") and the streaming engine
-    ("assemble"/"net"/"encode"), replacing the reference's ad-hoc prints.
+    Used by the train loop ("data" vs. "step") and the streaming driver's
+    per-frame latency decomposition ("pre"/"dispatch"/"readback",
+    StreamDriver.stabilize_clip), replacing the reference's ad-hoc prints.
     """
 
     def __init__(self) -> None:
