@@ -205,6 +205,13 @@ class ExportedEngine:
         frozen per-stream maps; outputs past a clip's end are computed in
         lock-step but discarded by the caller.
 
+        THROUGHPUT NOTE: this loop steps the artifact FRAME-wise from the
+        host (one dispatch + readback per step), so `--from-export --batch`
+        runs well below the live engine's `--batch` whole-clip `lax.scan`
+        (which keeps all T steps on device).  The gap is inherent to the
+        per-frame export signature, not a bug; serve with a live engine
+        when batch throughput matters.
+
         clip_gray: (S, T, H, W); clip_color: (S, T, Ho, Wo, 3) uint8;
         valid: optional (S, T-1) prefix mask.
         """
