@@ -122,7 +122,11 @@ def stability_score(Hs: jax.Array, band_edge: int = 6) -> jax.Array:
         spec = jnp.abs(jnp.fft.rfft(path)) ** 2
         non_dc = spec[1:]
         low = non_dc[:band_edge - 1]
-        return jnp.sum(low) / jnp.maximum(jnp.sum(non_dc), 1e-12)
+        total = jnp.sum(non_dc)
+        # A (near-)constant path has no non-DC energy at all — that is a
+        # perfectly stable component (a tripod shot), not an unstable one;
+        # without this guard the 0/eps ratio would score it 0.
+        return jnp.where(total < 1e-9, 1.0, jnp.sum(low) / total)
 
     return jnp.minimum(jnp.minimum(score(tx), score(ty)), score(rot))
 

@@ -1,5 +1,6 @@
 """Checkpoint round-trip and transfer-restore tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ from stabnet_tpu.train.state import create_train_state
 CFG = get_config("tiny")
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     model = make_model(CFG)
     state = create_train_state(model, CFG, jax.random.PRNGKey(0))
@@ -30,6 +32,7 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_transfer_from_imagenet_grafts_trunk_not_stem(tmp_path):
     import pytest
 

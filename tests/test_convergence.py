@@ -9,6 +9,7 @@ the warp, the mesh clamp, and the gate arithmetic without blow-ups at any
 phase transition.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -17,6 +18,8 @@ from stabnet_tpu.data import augment_batch, make_raw_batch, prepare_raw
 from stabnet_tpu.models import make_model
 from stabnet_tpu.train.state import create_train_state
 from stabnet_tpu.train.train import make_train_step
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
 
 STEPS = 60
 

@@ -85,6 +85,7 @@ def test_flow_to_sampling_matches_record_convention():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_computes_flow_for_flowless_shards(tmp_path):
     """Shards written WITHOUT a flow field train via --compute-flow: the
     computed flow must agree with the (exact) synthetic ground truth."""
@@ -128,6 +129,7 @@ def test_pipeline_computes_flow_for_flowless_shards(tmp_path):
     np.testing.assert_allclose(np.asarray(both["flow"]), f_got)
 
 
+@pytest.mark.slow
 def test_pipeline_skips_flow_until_gate_step(tmp_path):
     """flow_from_step: batches before the temporal gate carry the zero-motion
     map (no TV-L1 solve); from the gate step on, the real estimate."""

@@ -74,6 +74,7 @@ def test_clips_to_examples_schema():
     np.testing.assert_array_equal(e["unstable"][..., 1], unstable[pos])
 
 
+@pytest.mark.slow
 def test_ingested_shards_train_end_to_end(tmp_path):
     """make-dataset output -> pipeline(compute_flow) -> one finite train step."""
     from stabnet_tpu.data.pipeline import InputPipeline

@@ -1,5 +1,6 @@
 """Model structure, shapes, and forward tests (tiny config)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +38,7 @@ def test_resnet50_parameter_count():
     assert 28e6 < n < 34e6, n
 
 
+@pytest.mark.slow
 def test_backbone_feature_stride_32():
     model = make_model(CFG)
     variables = init_variables(model, CFG, jax.random.PRNGKey(0))
@@ -50,6 +52,7 @@ def test_backbone_feature_stride_32():
     assert feats.shape == (1, 2, 3, 2048)
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     model = make_model(CFG)
     variables = init_variables(model, CFG, jax.random.PRNGKey(0))
@@ -62,6 +65,7 @@ def test_train_mode_updates_batch_stats():
     assert max(diffs) > 0.0
 
 
+@pytest.mark.slow
 def test_mesh_clamped_to_crop_bound():
     model = make_model(CFG)
     variables = init_variables(model, CFG, jax.random.PRNGKey(0))

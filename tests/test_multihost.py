@@ -43,6 +43,7 @@ def test_stream_shards_partition_exactly(tmp_path):
         assert p == full[i::4]
 
 
+@pytest.mark.slow
 def test_multihost_pipeline_single_process_feeds_train_step(tmp_path):
     """Degenerate 1-process case on the virtual 8-device mesh: batches come
     out globally sharded and drive a sharded train step directly."""

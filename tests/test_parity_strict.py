@@ -30,6 +30,7 @@ def _theta(cfg, seed=0):
     return out
 
 
+@pytest.mark.slow
 def test_f32_mode_runs_and_bounds_bf16_quantization():
     """compute_dtype='float32' is a live, working knob; the bf16 default's
     theta quantization against it is small and bounded.
@@ -52,6 +53,7 @@ def test_f32_mode_runs_and_bounds_bf16_quantization():
     assert np.abs(m32 - m16).max() < 0.05, np.abs(m32 - m16).max()
 
 
+@pytest.mark.slow
 def test_f32_params_dtype_unchanged():
     """Params are f32 storage under BOTH modes (bf16 is compute-only)."""
     for dt in ("float32", "bfloat16"):

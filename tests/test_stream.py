@@ -1,5 +1,6 @@
 """Streaming engine end-to-end on synthetic video (tiny config)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -54,6 +55,7 @@ def test_ring_buffer_semantics():
         )
 
 
+@pytest.mark.slow
 def test_stream_driver_end_to_end():
     clip = make_video(8, 96, 128, seed=1, jitter=3.0)
     engine = build_engine()
@@ -72,6 +74,7 @@ def test_stream_driver_end_to_end():
     assert res2.input_gray.shape == (8, CFG.height, CFG.width)
 
 
+@pytest.mark.slow
 def test_stream_driver_refine_and_vis():
     clip = make_video(5, 64, 96, seed=2, jitter=2.0)
     engine = build_engine(refine=2)
@@ -81,6 +84,7 @@ def test_stream_driver_refine_and_vis():
     assert res.vis.shape[0] == 4  # T-1 mosaics
 
 
+@pytest.mark.slow
 def test_stream_driver_ablations():
     """Every ablation runs AND actually changes the history the net sees.
 
@@ -120,6 +124,7 @@ def test_stream_driver_ablations():
     assert np.abs(iws.frames.astype(int) - iws_rb.frames.astype(int)).max() > 0
 
 
+@pytest.mark.slow
 def test_multi_stream_lockstep():
     # Throughput mode: 2 concurrent streams through one engine.
     import jax.numpy as jnp

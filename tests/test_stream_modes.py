@@ -31,6 +31,7 @@ def build_driver(**opt_kw):
     return StreamDriver(engine, DeployOptions(**opt_kw))
 
 
+@pytest.mark.slow
 def test_pipelined_matches_sync():
     """The 1-frame readback lag must not change a single output byte."""
     clip = make_video(7, CFG.height, CFG.width, seed=3, jitter=3.0)
@@ -44,6 +45,7 @@ def test_pipelined_matches_sync():
     assert res_pipe.stage_summary["dispatch"]["count"] == len(clip) - 1
 
 
+@pytest.mark.slow
 def test_pipelined_rejects_sync_modes():
     driver = build_driver(pipelined=True, deploy_vis=True)
     clip = make_video(4, CFG.height, CFG.width, seed=0)
@@ -60,6 +62,7 @@ def test_device_gray_matches_host_conversion():
     assert np.abs(dev - host).max() < 2.5 / 255.0
 
 
+@pytest.mark.slow
 def test_device_gray_end_to_end():
     """device_gray serves the clip with outputs close to the host-gray path."""
     clip = make_video(6, CFG.height, CFG.width, seed=4, jitter=2.0)

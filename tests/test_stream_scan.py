@@ -8,6 +8,7 @@ different XLA programs whose fusions differ by ~1 ulp in f32, which can flip
 `round()` at exact-half boundaries.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,8 @@ from stabnet_tpu.data.synthetic import make_video
 from stabnet_tpu.models import init_variables, make_model
 from stabnet_tpu.stream import StreamEngine
 from stabnet_tpu.stream.video_io import to_gray_train
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
 
 CFG = get_config("tiny")
 

@@ -1,5 +1,6 @@
 """Training step smoke tests: loss decreases structure, gates, DP sharding."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +42,7 @@ def test_lr_schedule_staircase():
                                CFG.initial_learning_rate * 0.1, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_updates():
     model = make_model(CFG)
     state = create_train_state(model, CFG, jax.random.PRNGKey(0))
@@ -62,6 +64,7 @@ def test_train_step_runs_and_updates():
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_eval_step_no_mutation():
     model = make_model(CFG)
     state = create_train_state(model, CFG, jax.random.PRNGKey(0))
@@ -70,6 +73,7 @@ def test_eval_step_no_mutation():
     assert np.isfinite(float(aux["total"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step():
     mesh = data_mesh()
     assert mesh.devices.size == 8, "conftest must provide 8 virtual devices"
@@ -85,6 +89,7 @@ def test_data_parallel_train_step():
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_losses_pallas_path_matches_xla():
     """compute_losses with pallas_warp=True (interpret mode on CPU) must
     agree with the XLA path — covers the Pallas const-image training warp
@@ -160,6 +165,7 @@ def test_metrics_writer_no_tensorboard(tmp_path):
     assert not (tmp_path / "tb").exists()
 
 
+@pytest.mark.slow
 def test_one_step_run_checkpoints_and_resumes(tmp_path):
     """Even a 1-step segment ends checkpointed, and --restore continues from
     it — the contract scripts/train_chain.sh relies on."""
