@@ -150,6 +150,28 @@ def main():
                               sharding=batch_sharding)
     fps_batch = fps_batch_total / n_dev
 
+    # Second output geometry as a first-class leg (default 1080p; empty
+    # STABNET_BENCH_OUT2 disables it — CI's tiny CPU run does).  Same model,
+    # second engine at the other full-res warp size, batch mode, per chip.
+    out2 = os.environ.get("STABNET_BENCH_OUT2", "1080,1920")
+    fps2 = None
+    if out2:
+        out2_h, out2_w = (int(v) for v in out2.split(","))
+        S2 = int(os.environ.get("STABNET_BENCH_S2", "4"))
+        color2 = make_video(8, out2_h, out2_w, seed=0, jitter=4.0)[
+            np.arange(T) % 8][None]
+        gray2 = np.stack(
+            [to_gray_train(f, cfg.height, cfg.width) for f in color2[0]]
+        )[None]
+        colorS2 = np.broadcast_to(color2, (S2,) + color2.shape[1:]).copy()
+        grayS2 = np.broadcast_to(gray2, (S2,) + gray2.shape[1:]).copy()
+        engine2 = StreamEngine(model, variables, cfg, out_hw=(out2_h, out2_w))
+
+        def run_clip2(g, c):
+            return engine2.stabilize_clip(g, c)
+
+        fps2 = measure(grayS2, colorS2, "out2", run=run_clip2)
+
     # Device-side per-frame online latency by the SLOPE method: time the
     # single-stream whole-clip scan at two clip lengths and divide the delta
     # by the extra frames.  Fixed costs (dispatch, the host<->TPU tunnel RTT
@@ -173,6 +195,39 @@ def main():
         lat.append(time.perf_counter() - s)
     lat_ms = np.asarray(lat[2:]) * 1e3
 
+    # Decompose that wall number: upload (host->device transfer of the two
+    # per-frame payloads), dispatch (the async engine.step call itself), and
+    # compute+readback (everything until the warped frame is host-resident).
+    # On a directly-attached rig upload+readback collapse to PCIe/HBM copies;
+    # on this rig they carry the tunnel RTT — the split shows which is which.
+    up_ms, disp_ms, read_ms = [], [], []
+    for i in range(1, 9):
+        s = time.perf_counter()
+        g = jax.block_until_ready(jax.device_put(gray1[:, i]))
+        c = jax.block_until_ready(jax.device_put(color1[:, i]))
+        t1 = time.perf_counter()
+        state1, out = engine.step(state1, g, c)
+        t2 = time.perf_counter()
+        _ = np.asarray(out.warped_color[0])
+        t3 = time.perf_counter()
+        up_ms.append((t1 - s) * 1e3)
+        disp_ms.append((t2 - t1) * 1e3)
+        read_ms.append((t3 - t2) * 1e3)
+
+    # Pipelined single-stream serving (StreamDriver's production default):
+    # read frame t-1's output only after dispatching step t, so JAX's async
+    # dispatch overlaps upload/compute/readback across adjacent frames.
+    state1 = engine.init(gray1[:, 0])
+    pend = None
+    t0 = time.perf_counter()
+    for i in range(1, T):
+        state1, out = engine.step(state1, gray1[:, i], color1[:, i])
+        if pend is not None:
+            _ = np.asarray(pend.warped_color[0])
+        pend = out
+    _ = np.asarray(pend.warped_color[0])
+    fps_pipelined = (T - 1) / (time.perf_counter() - t0)
+
     # Key names reflect the ACTUAL measured configuration so archived bench
     # artifacts from non-default env overrides can't masquerade as the
     # headline batch-8 720p numbers.
@@ -181,16 +236,23 @@ def main():
         f"fps_{out_h}p_batch{S}_per_chip": fps_batch,
         "online_frame_latency_device_ms_slope": round(device_ms, 3),
         "online_step_latency_wall_p50_ms": float(np.percentile(lat_ms, 50)),
+        "online_step_upload_p50_ms": round(float(np.percentile(up_ms, 50)), 2),
+        "online_step_dispatch_p50_ms": round(float(np.percentile(disp_ms, 50)), 2),
+        "online_step_compute_readback_p50_ms": round(
+            float(np.percentile(read_ms, 50)), 2),
+        "online_pipelined_wall_fps": round(fps_pipelined, 1),
         "device": str(jax.devices()[0]),
         "n_devices": n_dev,
     }
+    if fps2 is not None:
+        stats[f"fps_{out2_h}p_batch{S2}_per_chip"] = fps2
     if n_dev > 1:
         stats[f"fps_{out_h}p_batch_total"] = fps_batch_total
     print(json.dumps(stats), file=sys.stderr)
 
     baseline_fps = 500.0
     fps = max(fps_s1, fps_batch)
-    print(json.dumps({
+    headline = {
         "metric": f"stabilized_{out_h}p_throughput",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
@@ -199,7 +261,11 @@ def main():
         # (slope-measured; the wall number below includes this rig's tunnel).
         "online_latency_device_ms": round(device_ms, 3),
         "online_latency_wall_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
-    }))
+        "online_pipelined_wall_fps": round(fps_pipelined, 1),
+    }
+    if fps2 is not None:
+        headline[f"fps_{out2_h}p_per_chip"] = round(fps2, 2)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -192,8 +192,11 @@ def warp_color(color: jax.Array, x_map: jax.Array, y_map: jax.Array,
         # uint8 window DMA + on-chip cast + uint8 epilogue; bf16 MXU passes
         # (error << 1 uint8 LSB after rounding).  The up-sample of the maps
         # to (Ho, Wo) is fused into the kernel's tiled layout — the
-        # full-resolution map intermediates never exist.
-        return warp_uint8_cf_lowres(imc, xs, ys, (Ho, Wo))
+        # full-resolution map intermediates never exist.  x_band=80: within
+        # noise of the 96 default at 720p, ~3% faster at 1080p (smaller
+        # window DMAs; measured scripts/tile_sweep_1080.py); the guard tiers
+        # still cover wider spreads.
+        return warp_uint8_cf_lowres(imc, xs, ys, (Ho, Wo), x_band=80)
     xs = resize_bilinear(xs, (Ho, Wo))
     ys = resize_bilinear(ys, (Ho, Wo))
     img = (jnp.moveaxis(color, 1, -1) if channels_first else color)

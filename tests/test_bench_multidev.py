@@ -11,6 +11,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
+
 
 def test_bench_runs_sharded_on_virtual_mesh():
     env = dict(os.environ)
@@ -19,6 +23,8 @@ def test_bench_runs_sharded_on_virtual_mesh():
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
         STABNET_BENCH_CONFIG="tiny",
         STABNET_BENCH_OUT="48,64",
+        STABNET_BENCH_OUT2="32,48",   # second-geometry leg (1080p on the rig)
+        STABNET_BENCH_S2="1",
         STABNET_BENCH_T="9",
         STABNET_BENCH_S="1",
         STABNET_BENCH_REPEATS="1",
@@ -47,3 +53,11 @@ def test_bench_runs_sharded_on_virtual_mesh():
     assert stats["fps_48p_batch_total"] > 0
     assert abs(stats["fps_48p_batch_total"] / 8
                - stats["fps_48p_batch1_per_chip"]) < 1e-6
+    # The second-geometry leg, the pipelined serving leg, and the latency
+    # decomposition all ran and made it into the stats line.
+    assert stats["fps_32p_batch1_per_chip"] > 0
+    assert headline["fps_32p_per_chip"] > 0
+    assert stats["online_pipelined_wall_fps"] > 0
+    for k in ("online_step_upload_p50_ms", "online_step_dispatch_p50_ms",
+              "online_step_compute_readback_p50_ms"):
+        assert stats[k] >= 0

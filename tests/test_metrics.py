@@ -94,6 +94,7 @@ def test_cropping_detects_zoom():
     assert float(distortion_score(Hs)) > 0.95
 
 
+@pytest.mark.slow
 def test_evaluate_clip_end_to_end():
     clip = _clip_with_offsets([(i % 2, 0) for i in range(12)])
     scores = evaluate_clip(jnp.asarray(clip), jnp.asarray(clip))

@@ -17,6 +17,8 @@ from stabnet_tpu.models import init_variables, make_model
 from stabnet_tpu.stream import DeployOptions, StreamDriver, StreamEngine
 from stabnet_tpu.stream.video_io import to_gray_train
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
+
 CFG = get_config("tiny")
 
 

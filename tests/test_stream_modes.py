@@ -77,6 +77,7 @@ def test_device_gray_end_to_end():
 
 
 @pytest.mark.skipif(not video_io.HAVE_CV2, reason="needs OpenCV file I/O")
+@pytest.mark.slow
 def test_streaming_file_matches_chunked_batch(tmp_path):
     """--stream-chunk output == the chunked batch scan, frame for frame.
 

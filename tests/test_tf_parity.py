@@ -180,6 +180,7 @@ def tf_head(feats, v, prefix):
 
 # --- tests ---------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_stabnet_checkpoint_roundtrip_and_theta_parity(tmp_path):
     """Synthetic model-80000 -> converter -> Flax model == TF composition."""
     prefix = "stable_net/resnet/resnet_v2_50"
@@ -218,6 +219,7 @@ def test_stabnet_checkpoint_roundtrip_and_theta_parity(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_trunk_matches_tf_composition_stride_and_padding(tmp_path):
     """ResNetV2 forward == TF composition on an ODD input size.
 
@@ -239,6 +241,7 @@ def test_trunk_matches_tf_composition_stride_and_padding(tmp_path):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_imagenet_transfer_integration(tmp_path):
     """Synthetic ImageNet ckpt -> converter -> transfer_from_imagenet."""
     from stabnet_tpu.config import get_config
