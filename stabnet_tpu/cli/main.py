@@ -244,7 +244,13 @@ def cmd_stabilize(args):
             raise SystemExit(f"artifact baked for {streams} streams; pass "
                              f"--batch {streams} to serve it, or export "
                              f"with --streams 1")
-        engine = ExportedEngine(data, cfg, out_hw, streams=streams)
+        step_len = meta.get("step_len")
+        scan_data = data[step_len:] if step_len is not None else None
+        engine = ExportedEngine(data[:step_len] if step_len is not None
+                                else data,
+                                cfg, out_hw, streams=streams,
+                                scan_data=scan_data,
+                                segment=meta.get("segment"))
         output_size = tuple(out_hw)
     else:
         cfg = get_config(args.config)
@@ -321,6 +327,17 @@ def _stabilize_batched(args, driver, videos):
     from stabnet_tpu.stream import video_io
 
     chunk = args.batch_chunk
+    # An artifact with a baked scan fixes the segment length at export time;
+    # chunking MUST ride it (a free choice would shape-mismatch the baked
+    # executable).
+    baked_segment = getattr(driver.engine, "segment", None)
+    if baked_segment:
+        if chunk is not None and chunk != baked_segment:
+            raise SystemExit(
+                f"--batch-chunk {chunk} conflicts with the artifact's baked "
+                f"{baked_segment}-frame scan segment; drop the flag or "
+                f"re-export with --segment {chunk}")
+        chunk = baked_segment
     auto_chunk = (chunk is None and not args.batch_sharded
                   and hasattr(driver.engine, "continue_clip"))
     failures = 0
@@ -496,9 +513,21 @@ def cmd_export(args):
     data = export_stream_step(model, variables, cfg, out_hw,
                               streams=args.streams, refine=args.refine,
                               platforms=platforms)
+    scan_data = None
+    if args.segment:
+        from stabnet_tpu.stream.export import export_scan_segment
+
+        scan_data = export_scan_segment(model, variables, cfg, out_hw,
+                                        streams=args.streams,
+                                        segment=args.segment,
+                                        refine=args.refine,
+                                        platforms=platforms)
     save_artifact(args.out, data, cfg, out_hw, args.streams, args.refine,
-                  platforms=platforms)
-    print(f"exported {len(data) / 1e6:.1f} MB -> {args.out}"
+                  platforms=platforms, scan_data=scan_data,
+                  segment=args.segment)
+    total = len(data) + (len(scan_data) if scan_data else 0)
+    print(f"exported {total / 1e6:.1f} MB -> {args.out}"
+          + (f" (+{args.segment}-frame scan)" if scan_data else "")
           + (f" (platforms: {', '.join(platforms)})" if platforms else ""))
 
     if args.selftest:
@@ -590,6 +619,11 @@ def main(argv=None):
     p.add_argument("--tf-checkpoint", default=None)
     p.add_argument("--streams", type=int, default=1)
     p.add_argument("--refine", type=int, default=1)
+    p.add_argument("--segment", type=int, default=None, metavar="K",
+                   help="also bake a K-frame whole-segment scan into the "
+                        "artifact: `stabilize --from-export --batch` then "
+                        "rides the on-device lax.scan (the live engine's "
+                        "batch throughput) instead of stepping frame-wise")
     p.add_argument("--output-size", type=int, nargs=2, default=[720, 1280])
     p.add_argument("--platforms", nargs="+", default=None,
                    metavar="PLATFORM",

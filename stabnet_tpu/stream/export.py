@@ -102,6 +102,53 @@ def export_stream_step(model, variables, cfg: StabNetConfig,
     return exported.serialize()
 
 
+def export_scan_segment(model, variables, cfg: StabNetConfig,
+                        out_hw: Tuple[int, int], streams: int,
+                        segment: int, refine: int = 1,
+                        platforms: Optional[Tuple[str, ...]] = None) -> bytes:
+    """Serialize a fixed-length whole-segment scan (weights baked in).
+
+    The per-frame step artifact pays one host dispatch + readback per frame;
+    this bakes `engine.scan_frames` over a (streams, segment) window instead
+    — the same on-device `lax.scan` the live engine's batch serving rides —
+    so `--from-export --batch` keeps the scan's throughput.  The baked
+    signature is (state, gray (S, K, H, W), color (S, K, Ho, Wo, 3) uint8,
+    valid (S, K) bool) -> (warped (S, K, Ho, Wo, 3) uint8, state); `valid`
+    gives exact unequal-length handling (prefix mask, scan_frames docs).
+    """
+    from jax import export as jax_export
+
+    if platforms:
+        use_pallas = ("cpu" not in platforms
+                      and any(p in ("tpu", "axon") for p in platforms))
+    else:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+
+    def seg(state, grays, colors, valid):
+        return _engine.scan_frames(model, variables, state, grays, colors,
+                                   cfg, refine=refine, out_hw=out_hw,
+                                   use_pallas=use_pallas, valid=valid)
+
+    S, K = streams, segment
+    Ho, Wo = out_hw
+    state0 = jax.eval_shape(
+        functools.partial(_engine.init_state, cfg=cfg),
+        jax.ShapeDtypeStruct((S, cfg.height, cfg.width), jnp.float32),
+    )
+    grays = jax.ShapeDtypeStruct((S, K, cfg.height, cfg.width), jnp.float32)
+    colors = jax.ShapeDtypeStruct((S, K, Ho, Wo, 3), jnp.uint8)
+    valid = jax.ShapeDtypeStruct((S, K), jnp.bool_)
+    from stabnet_tpu.ops.homography import portable_solve
+    from stabnet_tpu.ops.pallas_warp import interpret_default
+
+    with portable_solve(), interpret_default(False if use_pallas else None):
+        exported = jax_export.export(
+            jax.jit(seg),
+            platforms=list(platforms) if platforms else None,
+        )(state0, grays, colors, valid)
+    return exported.serialize()
+
+
 def load_stream_step(data: bytes):
     """Deserialize an exported streaming step into a callable."""
     from jax import export as jax_export
@@ -122,10 +169,16 @@ _MAGIC = b"STBX1\n"
 
 def save_artifact(path: str, data: bytes, cfg: StabNetConfig,
                   out_hw: Tuple[int, int], streams: int, refine: int,
-                  platforms: Optional[Tuple[str, ...]] = None) -> None:
+                  platforms: Optional[Tuple[str, ...]] = None,
+                  scan_data: Optional[bytes] = None,
+                  segment: Optional[int] = None) -> None:
     """Write `data` with a small JSON header so a serving process can
     reconstruct the run parameters (config name, baked shapes) from the file
-    alone — the reference's .meta files are similarly self-describing."""
+    alone — the reference's .meta files are similarly self-describing.
+
+    With `scan_data`/`segment`, a baked whole-segment scan rides along after
+    the step payload (`step_len` in the header marks the split) — see
+    `export_scan_segment`."""
     import json
 
     meta = {
@@ -136,6 +189,12 @@ def save_artifact(path: str, data: bytes, cfg: StabNetConfig,
     }
     if platforms:
         meta["platforms"] = list(platforms)
+    if scan_data is not None:
+        if not segment or segment < 1:
+            raise ValueError("scan_data needs its baked segment length")
+        meta["step_len"] = len(data)
+        meta["segment"] = int(segment)
+        data = data + scan_data
     header = json.dumps(meta).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC + len(header).to_bytes(4, "little") + header + data)
@@ -169,11 +228,22 @@ class ExportedEngine:
     """
 
     def __init__(self, data: bytes, cfg: StabNetConfig,
-                 out_hw: Tuple[int, int], streams: int = 1):
+                 out_hw: Tuple[int, int], streams: int = 1,
+                 scan_data: Optional[bytes] = None,
+                 segment: Optional[int] = None):
         self._fn = load_stream_step(data)
         self.cfg = cfg
         self.out_hw = (int(out_hw[0]), int(out_hw[1]))
         self.streams = int(streams)
+        # Artifacts exported with --segment also carry a baked whole-segment
+        # scan (export_scan_segment); batch serving then rides the on-device
+        # lax.scan instead of stepping frame-wise from the host.  The
+        # chunked-serving hook is exposed only when baked — the driver
+        # feature-detects it via hasattr(engine, "continue_clip").
+        self._scan = load_stream_step(scan_data) if scan_data else None
+        self.segment = int(segment) if segment else None
+        if self._scan is not None:
+            self.continue_clip = self._continue_clip
 
     def init(self, first_gray: np.ndarray):
         return initial_state(np.asarray(first_gray), self.cfg)
@@ -193,9 +263,41 @@ class ExportedEngine:
                               for c in color])
         return self._fn(state, jnp.asarray(cur_gray), jnp.asarray(color))
 
+    def _resize_clip(self, clip_color: np.ndarray) -> np.ndarray:
+        if clip_color.shape[-3:-1] == self.out_hw:
+            return clip_color
+        from stabnet_tpu.stream.driver import StreamDriver
+
+        return np.stack([
+            np.stack([StreamDriver._resize_color(f, self.out_hw) for f in s])
+            for s in clip_color])
+
+    def _continue_clip(self, state, clip_gray: np.ndarray,
+                       clip_color: np.ndarray,
+                       valid: Optional[np.ndarray] = None):
+        """Scan one baked-size segment from an existing state.
+
+        Same contract as StreamEngine.continue_clip, with the segment length
+        fixed at export time: clip_gray (S, K, H, W), clip_color
+        (S, K, Ho, Wo, 3) uint8, valid (S, K) prefix mask (None = all valid).
+        """
+        S, K = clip_gray.shape[:2]
+        if (S, K) != (self.streams, self.segment):
+            raise ValueError(
+                f"artifact scan baked for (streams, segment) = "
+                f"({self.streams}, {self.segment}), got ({S}, {K}) — pass "
+                f"--batch-chunk {self.segment} (and a batch of "
+                f"{self.streams} clips)")
+        if valid is None:
+            valid = np.ones((S, K), bool)
+        return self._scan(state, jnp.asarray(clip_gray),
+                          jnp.asarray(self._resize_clip(clip_color)),
+                          jnp.asarray(np.asarray(valid, bool)))
+
     def stabilize_clip(self, clip_gray: np.ndarray, clip_color: np.ndarray,
                        valid: Optional[np.ndarray] = None):
-        """Whole-clip batch serving through the artifact's per-frame step.
+        """Whole-clip batch serving: baked scan when exported with
+        --segment, else through the artifact's per-frame step.
 
         StreamDriver.stabilize_batch-compatible: same signature and return
         contract as StreamEngine.stabilize_clip.  The artifact step has no
@@ -221,6 +323,8 @@ class ExportedEngine:
         if S != self.streams:
             raise ValueError(f"artifact baked for {self.streams} streams, "
                              f"got a batch of {S}")
+        if self._scan is not None:
+            return self._stabilize_clip_scan(clip_gray, clip_color, valid)
         # Stream s's last processed step (1-based); 0 = dummy all-invalid.
         ends = (np.asarray(valid, bool).sum(axis=1) if valid is not None
                 else np.full(S, T - 1))
@@ -238,3 +342,42 @@ class ExportedEngine:
                 types.SimpleNamespace(all_black=np.stack(frozen)))
 
 
+
+    def _stabilize_clip_scan(self, clip_gray: np.ndarray,
+                             clip_color: np.ndarray,
+                             valid: Optional[np.ndarray]):
+        """Whole-clip serving on the baked segment scan.
+
+        The clip's steps 1..T-1 run in baked-size segments (the tail padded
+        with invalid repeats of the last frame, so ONE deserialized
+        executable serves every segment); the scan's own validity masking
+        freezes each stream's state at its true end — the host-side
+        snapshot bookkeeping of the per-frame path is unnecessary here.
+        """
+        S, T = clip_gray.shape[:2]
+        K = self.segment
+        clip_color = self._resize_clip(clip_color)
+        v_full = (np.asarray(valid, bool) if valid is not None
+                  else np.ones((S, T - 1), bool))
+
+        state = self.init(clip_gray[:, 0])
+        chunks = []
+        t = 1
+        while t < T:
+            k = min(K, T - t)
+            g = clip_gray[:, t:t + k]
+            c = clip_color[:, t:t + k]
+            v = v_full[:, t - 1:t - 1 + k]
+            if k < K:
+                def pad_tail(a):
+                    reps = [1] * a.ndim
+                    reps[1] = K - k
+                    return np.concatenate([a, np.tile(a[:, -1:], reps)],
+                                          axis=1)
+
+                g, c = pad_tail(g), pad_tail(c)
+                v = np.concatenate([v, np.zeros((S, K - k), bool)], axis=1)
+            warped, state = self._continue_clip(state, g, c, v)
+            chunks.append(np.asarray(warped[:, :k]))
+            t += k
+        return np.concatenate(chunks, axis=1), state

@@ -10,6 +10,7 @@ custom calls crash when deserialized (jaxlib 0.9.0).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,8 @@ from stabnet_tpu.models import init_variables, make_model
 from stabnet_tpu.stream.engine import init_state, stream_step
 from stabnet_tpu.stream.export import (export_stream_step, initial_state,
                                        load_stream_step)
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
 
 CFG = get_config("tiny")
 OUT_HW = (2 * CFG.height, 2 * CFG.width)
@@ -189,3 +192,83 @@ def test_exported_batch_serving_unequal_lengths():
     # Chunked/sharded need the live engine.
     with pytest.raises(ValueError, match="live engine"):
         driver.stabilize_batch([A, B], chunk=2)
+
+
+def test_baked_scan_artifact_serves_batch(tmp_path):
+    """An artifact exported with a segment scan serves whole clips on the
+    on-device lax.scan: outputs match the live engine's chunked batch path
+    (within the artifact's portable-solver roundoff), unequal lengths and
+    the padded tail segment included, and the driver's chunked path accepts
+    the engine via its continue_clip feature-detect."""
+    from stabnet_tpu.data.synthetic import make_video
+    from stabnet_tpu.stream import StreamEngine
+    from stabnet_tpu.stream.export import (ExportedEngine,
+                                           export_scan_segment, load_artifact,
+                                           save_artifact)
+    from stabnet_tpu.stream.video_io import to_gray_train
+
+    model, variables = _setup()
+    S, K, T = 2, 4, 10  # T-1=9 steps -> 2 full segments + padded tail
+    step_data = export_stream_step(model, variables, CFG, OUT_HW, streams=S)
+    scan_data = export_scan_segment(model, variables, CFG, OUT_HW,
+                                    streams=S, segment=K)
+    path = str(tmp_path / "scan.stbx")
+    save_artifact(path, step_data, CFG, OUT_HW, S, 1,
+                  scan_data=scan_data, segment=K)
+    data, meta = load_artifact(path)
+    assert meta["segment"] == K
+    step_len = meta["step_len"]
+    eng = ExportedEngine(data[:step_len], CFG, OUT_HW, streams=S,
+                         scan_data=data[step_len:], segment=K)
+    assert hasattr(eng, "continue_clip")
+
+    # Unequal lengths: clip 0 uses all T frames, clip 1 only 7.
+    clips = [np.stack(make_video(T, *OUT_HW, seed=s, jitter=3.0))
+             for s in range(S)]
+    lengths = [T, 7]
+    grays = np.zeros((S, T, CFG.height, CFG.width), np.float32)
+    colors = np.zeros((S, T, *OUT_HW, 3), np.uint8)
+    valid = np.zeros((S, T - 1), bool)
+    for s in range(S):
+        for t in range(lengths[s]):
+            grays[s, t] = to_gray_train(clips[s][t], CFG.height, CFG.width,
+                                        CFG.crop_rate if t == 0 else 1.0)
+            colors[s, t] = clips[s][t]
+        grays[s, lengths[s]:] = grays[s, lengths[s] - 1]
+        colors[s, lengths[s]:] = colors[s, lengths[s] - 1]
+        valid[s, : lengths[s] - 1] = True
+
+    warped_art, state_art = eng.stabilize_clip(grays, colors, valid=valid)
+
+    # The strong guarantee: the baked scan equals the SAME artifact's
+    # per-frame step loop on every VALID step (identical solver, identical
+    # state feedback; post-end padded steps are discarded-garbage by
+    # contract — the scan freezes a stream's state at its end while the
+    # step loop keeps stepping it, so only valid outputs are comparable).
+    eng_step = ExportedEngine(data[:step_len], CFG, OUT_HW, streams=S)
+    warped_step, state_step = eng_step.stabilize_clip(grays, colors,
+                                                      valid=valid)
+    d = np.abs(np.asarray(warped_art).astype(np.int32)
+               - np.asarray(warped_step).astype(np.int32))
+    assert d[valid].max() <= 1, d[valid].max()
+    # Unequal-length semantics match: the scan's on-device validity freeze
+    # lands on the same accumulators as the step path's host-side
+    # snapshot-at-end bookkeeping.
+    np.testing.assert_array_equal(np.asarray(state_art.all_black),
+                                  np.asarray(state_step.all_black))
+
+    # Against the LIVE engine only the first step is tight: the artifact's
+    # portable DLT solver rounds differently than LAPACK (module docstring)
+    # and the difference compounds through the stabilized-history feedback
+    # (observed up to ~2e2 uint8 at step 9 on random weights).
+    live = StreamEngine(model, variables, CFG, out_hw=OUT_HW)
+    warped_live, _ = live.stabilize_clip(grays, colors, valid=valid)
+    d0 = np.abs(np.asarray(warped_art)[:, 0].astype(np.int32)
+                - np.asarray(warped_live)[:, 0].astype(np.int32))
+    assert d0.max() <= 1, d0.max()
+
+    # Wrong segment size errors clearly instead of mis-serving.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="baked for"):
+        eng.continue_clip(eng.init(grays[:, 0]), grays[:, 1:4],
+                          colors[:, 1:4])
