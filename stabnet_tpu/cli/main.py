@@ -279,6 +279,13 @@ def cmd_stabilize(args):
         raise SystemExit("--stream-chunk is the single-clip constant-memory "
                          "path; it keeps no frames in host RAM, so --batch "
                          "and --metrics are incompatible with it")
+    if args.stream_chunk is not None:
+        # Fail fast on a baked-segment conflict, before any clip is decoded
+        # or any output file created (stabilize_file re-checks per call).
+        try:
+            driver.reconcile_chunk(args.stream_chunk)
+        except ValueError as e:
+            raise SystemExit(f"--stream-chunk: {e}")
     if args.batch > 1:
         _stabilize_batched(args, driver, videos)
         return
@@ -326,18 +333,13 @@ def _stabilize_batched(args, driver, videos):
 
     from stabnet_tpu.stream import video_io
 
-    chunk = args.batch_chunk
     # An artifact with a baked scan fixes the segment length at export time;
-    # chunking MUST ride it (a free choice would shape-mismatch the baked
-    # executable).
-    baked_segment = getattr(driver.engine, "segment", None)
-    if baked_segment:
-        if chunk is not None and chunk != baked_segment:
-            raise SystemExit(
-                f"--batch-chunk {chunk} conflicts with the artifact's baked "
-                f"{baked_segment}-frame scan segment; drop the flag or "
-                f"re-export with --segment {chunk}")
-        chunk = baked_segment
+    # the driver owns the reconciliation (stabilize_batch re-checks it for
+    # API callers) — fail fast here before any video is decoded.
+    try:
+        chunk = driver.reconcile_chunk(args.batch_chunk)
+    except ValueError as e:
+        raise SystemExit(f"--batch-chunk: {e}")
     auto_chunk = (chunk is None and not args.batch_sharded
                   and hasattr(driver.engine, "continue_clip"))
     failures = 0

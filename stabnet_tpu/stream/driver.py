@@ -235,17 +235,9 @@ class StreamDriver:
 
         all_black = np.asarray(state.all_black[0])
         rect = max_clear_rect(all_black)
-        # Scale the model-resolution rectangle to the output resolution.
-        sy = out_hw[0] / cfg.height
-        sx = out_hw[1] / cfg.width
-        top, left, bot, right = rect
+        ys, xs = self._crop_slices(rect, out_hw)
         frames_arr = np.stack(out_frames)
-        cropped = frames_arr[
-            :,
-            int(np.ceil(top * sy)) : int(np.floor((bot + 1) * sy)),
-            int(np.ceil(left * sx)) : int(np.floor((right + 1) * sx)),
-            :,
-        ]
+        cropped = frames_arr[:, ys, xs, :]
         summary = timers.summary()
         tot_net = (summary.get("dispatch", {}).get("total_s", 0.0)
                    + summary.get("readback", {}).get("total_s", 0.0))
@@ -302,13 +294,16 @@ class StreamDriver:
                 "--start-with-stable, and --deploy-vis need the per-frame "
                 "loop (drop --batch)")
         if sharded and chunk is not None:
-            raise ValueError("--batch-chunk is a single-device path; "
+            raise ValueError("chunked batch serving is a single-device path; "
                              "use one of chunk/sharded")
-        if ((chunk is not None and not hasattr(self.engine, "continue_clip"))
-                or (sharded and not hasattr(self.engine,
-                                            "stabilize_clips_sharded"))):
-            raise ValueError("chunked/sharded batch serving needs a live "
-                             "engine (exported artifacts step frame-wise)")
+        if sharded and not hasattr(self.engine, "stabilize_clips_sharded"):
+            raise ValueError("sharded batch serving needs a live engine")
+        if not sharded:
+            chunk = self.reconcile_chunk(chunk)
+        if chunk is not None and not hasattr(self.engine, "continue_clip"):
+            raise ValueError("chunked batch serving needs a live engine or "
+                             "an artifact exported with --segment (plain "
+                             "artifacts step frame-wise)")
         n_real = len(clips)
         if n_real < 1:
             raise ValueError("empty batch")
@@ -376,20 +371,13 @@ class StreamDriver:
         fps = total_frames / elapsed if elapsed > 0 else float("inf")
 
         results = []
-        sy = out_hw[0] / cfg.height
-        sx = out_hw[1] / cfg.width
         for s, clip in enumerate(clips):
             frames_arr = np.concatenate(
                 [self._resize_color(clip[0], out_hw)[None],
                  warped_np[s, : lengths[s] - 1]])
             rect = max_clear_rect(all_black[s])
-            top, left, bot, right = rect
-            cropped = frames_arr[
-                :,
-                int(np.ceil(top * sy)) : int(np.floor((bot + 1) * sy)),
-                int(np.ceil(left * sx)) : int(np.floor((right + 1) * sx)),
-                :,
-            ]
+            ys, xs = self._crop_slices(rect, out_hw)
+            cropped = frames_arr[:, ys, xs, :]
             # input_gray reuses grays[s, 1:] (computed above with the same
             # crop_rate=1.0); only frame 0 differs (it used cfg.crop_rate).
             results.append(ClipResult(
@@ -469,9 +457,19 @@ class StreamDriver:
                 "(drop --stream-chunk)")
         if chunk < 1:
             raise ValueError(f"stream_chunk must be >= 1, got {chunk}")
+        # A baked-scan artifact serves this path too, but only at its baked
+        # segment length and stream count — validated here, BEFORE any
+        # output file is created.
+        chunk = self.reconcile_chunk(chunk)
         if not hasattr(self.engine, "continue_clip"):
-            raise ValueError("streaming file serving needs a live engine "
-                             "(exported artifacts step frame-wise)")
+            raise ValueError("streaming file serving needs a live engine or "
+                             "an artifact exported with --segment (plain "
+                             "artifacts step frame-wise)")
+        streams = getattr(self.engine, "streams", 1)
+        if streams != 1:
+            raise ValueError(f"artifact baked for {streams} streams; "
+                             "streaming file serving is single-stream "
+                             "(re-export with --streams 1)")
 
         reader = video_io.VideoReader(unstable_path)
         first = reader.read()
@@ -483,8 +481,10 @@ class StreamDriver:
         prod = os.path.join(output_dir, "output")
         os.makedirs(prod, exist_ok=True)
         out_path = os.path.join(prod, name + ".avi")
-        writer = (video_io.VideoWriter(out_path, reader.fps, out_hw)
-                  if video_io.HAVE_CV2 else video_io.ArrayVideoWriter())
+        # VideoReader above already required cv2; an in-memory fallback here
+        # would silently reintroduce the O(T) host buffering this mode exists
+        # to eliminate.
+        writer = video_io.VideoWriter(out_path, reader.fps, out_hw)
 
         first_gray = video_io.to_gray_train(first, cfg.height, cfg.width,
                                             cfg.crop_rate)
@@ -527,20 +527,15 @@ class StreamDriver:
 
         all_black = np.asarray(state.all_black[0])
         rect = max_clear_rect(all_black)
-        top, left, bot, right = rect
-        sy = out_hw[0] / cfg.height
-        sx = out_hw[1] / cfg.width
-        ys = slice(int(np.ceil(top * sy)), int(np.floor((bot + 1) * sy)))
-        xs = slice(int(np.ceil(left * sx)), int(np.floor((right + 1) * sx)))
+        ys, xs = self._crop_slices(rect, out_hw)
         cut_path = os.path.join(prod, name + "_cut.avi")
-        if video_io.HAVE_CV2:
-            cut_reader = video_io.VideoReader(out_path, allow_half_rate=False)
-            cut_hw = (ys.stop - ys.start, xs.stop - xs.start)
-            cut_writer = video_io.VideoWriter(cut_path, reader.fps, cut_hw)
-            for f in cut_reader:
-                cut_writer.write(f[ys, xs])
-            cut_reader.close()
-            cut_writer.close()
+        cut_reader = video_io.VideoReader(out_path, allow_half_rate=False)
+        cut_hw = (ys.stop - ys.start, xs.stop - xs.start)
+        cut_writer = video_io.VideoWriter(cut_path, reader.fps, cut_hw)
+        for f in cut_reader:
+            cut_writer.write(f[ys, xs])
+        cut_reader.close()
+        cut_writer.close()
 
         fps_net = (n_out - 1) / tot_net if tot_net > 0 else float("inf")
         logger.info("%s: %d frames (streamed, chunk=%d), net fps=%.1f, "
@@ -550,6 +545,41 @@ class StreamDriver:
                           num_frames=n_out)
 
     # -- helpers -------------------------------------------------------------
+    def reconcile_chunk(self, chunk: Optional[int]) -> Optional[int]:
+        """Resolve a requested scan-chunk length against the engine.
+
+        An artifact exported with a baked whole-segment scan fixes the
+        segment length at export time; chunked serving must ride it (any
+        other length would shape-mismatch the baked executable), and with no
+        explicit request the baked length is adopted.  Live engines compile
+        whatever length is asked for.  Raises ValueError on a conflict —
+        callers run this before any output file is created.
+        """
+        baked = getattr(self.engine, "segment", None)
+        if baked:
+            if chunk is not None and chunk != baked:
+                raise ValueError(
+                    f"chunk size {chunk} conflicts with the artifact's "
+                    f"baked {baked}-frame scan segment; use {baked}, or "
+                    f"re-export with --segment {chunk}")
+            return baked
+        return chunk
+
+    def _crop_slices(self, rect: Tuple[int, int, int, int],
+                     out_hw: Tuple[int, int]) -> Tuple[slice, slice]:
+        """Scale a model-resolution crop rectangle to output-resolution
+        slices (ceil/floor so the cut never includes a black border pixel).
+
+        The single source of the rounding convention — every serving mode's
+        `_cut` output crops through here.
+        """
+        sy = out_hw[0] / self.cfg.height
+        sx = out_hw[1] / self.cfg.width
+        top, left, bot, right = rect
+        return (slice(int(np.ceil(top * sy)), int(np.floor((bot + 1) * sy))),
+                slice(int(np.ceil(left * sx)),
+                      int(np.floor((right + 1) * sx))))
+
     @staticmethod
     def _resize_color(frame: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
         if frame.shape[:2] == tuple(out_hw):

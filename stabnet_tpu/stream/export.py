@@ -41,6 +41,56 @@ def _register_serialization() -> None:
 _register_serialization()
 
 
+def _resolve_use_pallas(platforms: Optional[Tuple[str, ...]]) -> bool:
+    """Should the artifact carry the Mosaic (TPU) warp kernels?
+
+    True only when every requested lowering platform can run them; with no
+    explicit platforms the current backend decides.
+    """
+    if platforms:
+        return ("cpu" not in platforms
+                and any(p in ("tpu", "axon") for p in platforms))
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _state0_spec(cfg: StabNetConfig, streams: int):
+    """Shape spec of the streaming state for `streams` concurrent streams."""
+    return jax.eval_shape(
+        functools.partial(_engine.init_state, cfg=cfg),
+        jax.ShapeDtypeStruct((streams, cfg.height, cfg.width), jnp.float32),
+    )
+
+
+def _export_serialized(fn, arg_specs, platforms: Optional[Tuple[str, ...]],
+                       use_pallas: bool) -> bytes:
+    """Trace + serialize `fn` under the export-safe contexts (shared by the
+    per-frame step and the whole-segment scan exporters — the two MUST stay
+    identical, so the subtleties live here once).
+
+    - Portable DLT solver: the default jnp.linalg.solve lowers to LAPACK FFI
+      custom calls on CPU, which crash when invoked from a deserialized
+      artifact (jaxlib 0.9.0).  The artifact is therefore a slightly
+      different numeric path than the live engine — equal to it within
+      solver roundoff (O(eps * cond) per homography).
+    - Pinned Pallas interpret mode: when lowering for TPU the kernels must
+      resolve to the Mosaic lowering regardless of the HOST backend —
+      `interpret=None` follows jax.default_backend(), so a CPU build host
+      exporting `--platforms tpu` would otherwise silently bake the
+      interpreter (serial emulation) lowering into the artifact.
+    """
+    from jax import export as jax_export
+
+    from stabnet_tpu.ops.homography import portable_solve
+    from stabnet_tpu.ops.pallas_warp import interpret_default
+
+    with portable_solve(), interpret_default(False if use_pallas else None):
+        exported = jax_export.export(
+            jax.jit(fn),
+            platforms=list(platforms) if platforms else None,
+        )(*arg_specs)
+    return exported.serialize()
+
+
 def export_stream_step(model, variables, cfg: StabNetConfig,
                        out_hw: Tuple[int, int], streams: int = 1,
                        refine: int = 1,
@@ -60,13 +110,7 @@ def export_stream_step(model, variables, cfg: StabNetConfig,
     Returns:
       Serialized `jax.export` artifact bytes.
     """
-    from jax import export as jax_export
-
-    if platforms:
-        use_pallas = ("cpu" not in platforms
-                      and any(p in ("tpu", "axon") for p in platforms))
-    else:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+    use_pallas = _resolve_use_pallas(platforms)
 
     def step(state, gray, color):
         return _engine.stream_step(model, variables, state, gray, color, cfg,
@@ -75,31 +119,10 @@ def export_stream_step(model, variables, cfg: StabNetConfig,
 
     S = streams
     Ho, Wo = out_hw
-    state0 = jax.eval_shape(
-        functools.partial(_engine.init_state, cfg=cfg),
-        jax.ShapeDtypeStruct((S, cfg.height, cfg.width), jnp.float32),
-    )
     gray = jax.ShapeDtypeStruct((S, cfg.height, cfg.width), jnp.float32)
     color = jax.ShapeDtypeStruct((S, Ho, Wo, 3), jnp.uint8)
-    # Trace with the portable DLT solver: the default jnp.linalg.solve
-    # lowers to LAPACK FFI custom calls on CPU, which crash when invoked
-    # from a deserialized artifact (jaxlib 0.9.0).  The artifact is
-    # therefore a slightly different numeric path than the live engine —
-    # equal to it within solver roundoff (O(eps * cond) per homography).
-    from stabnet_tpu.ops.homography import portable_solve
-    from stabnet_tpu.ops.pallas_warp import interpret_default
-
-    # When lowering for TPU the Pallas kernels must resolve to the Mosaic
-    # lowering regardless of the HOST backend: `interpret=None` follows
-    # jax.default_backend(), so a CPU build host exporting `--platforms tpu`
-    # would otherwise silently bake the interpreter (serial emulation)
-    # lowering into the artifact.
-    with portable_solve(), interpret_default(False if use_pallas else None):
-        exported = jax_export.export(
-            jax.jit(step),
-            platforms=list(platforms) if platforms else None,
-        )(state0, gray, color)
-    return exported.serialize()
+    return _export_serialized(step, (_state0_spec(cfg, S), gray, color),
+                              platforms, use_pallas)
 
 
 def export_scan_segment(model, variables, cfg: StabNetConfig,
@@ -116,13 +139,7 @@ def export_scan_segment(model, variables, cfg: StabNetConfig,
     valid (S, K) bool) -> (warped (S, K, Ho, Wo, 3) uint8, state); `valid`
     gives exact unequal-length handling (prefix mask, scan_frames docs).
     """
-    from jax import export as jax_export
-
-    if platforms:
-        use_pallas = ("cpu" not in platforms
-                      and any(p in ("tpu", "axon") for p in platforms))
-    else:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+    use_pallas = _resolve_use_pallas(platforms)
 
     def seg(state, grays, colors, valid):
         return _engine.scan_frames(model, variables, state, grays, colors,
@@ -131,22 +148,12 @@ def export_scan_segment(model, variables, cfg: StabNetConfig,
 
     S, K = streams, segment
     Ho, Wo = out_hw
-    state0 = jax.eval_shape(
-        functools.partial(_engine.init_state, cfg=cfg),
-        jax.ShapeDtypeStruct((S, cfg.height, cfg.width), jnp.float32),
-    )
     grays = jax.ShapeDtypeStruct((S, K, cfg.height, cfg.width), jnp.float32)
     colors = jax.ShapeDtypeStruct((S, K, Ho, Wo, 3), jnp.uint8)
     valid = jax.ShapeDtypeStruct((S, K), jnp.bool_)
-    from stabnet_tpu.ops.homography import portable_solve
-    from stabnet_tpu.ops.pallas_warp import interpret_default
-
-    with portable_solve(), interpret_default(False if use_pallas else None):
-        exported = jax_export.export(
-            jax.jit(seg),
-            platforms=list(platforms) if platforms else None,
-        )(state0, grays, colors, valid)
-    return exported.serialize()
+    return _export_serialized(seg,
+                              (_state0_spec(cfg, S), grays, colors, valid),
+                              platforms, use_pallas)
 
 
 def load_stream_step(data: bytes):
@@ -285,9 +292,9 @@ class ExportedEngine:
         if (S, K) != (self.streams, self.segment):
             raise ValueError(
                 f"artifact scan baked for (streams, segment) = "
-                f"({self.streams}, {self.segment}), got ({S}, {K}) — pass "
-                f"--batch-chunk {self.segment} (and a batch of "
-                f"{self.streams} clips)")
+                f"({self.streams}, {self.segment}), got ({S}, {K}); serve "
+                f"groups of {self.streams} streams in {self.segment}-frame "
+                f"segments, or re-export with --streams/--segment")
         if valid is None:
             valid = np.ones((S, K), bool)
         return self._scan(state, jnp.asarray(clip_gray),

@@ -272,3 +272,55 @@ def test_baked_scan_artifact_serves_batch(tmp_path):
     with _pytest.raises(ValueError, match="baked for"):
         eng.continue_clip(eng.init(grays[:, 0]), grays[:, 1:4],
                           colors[:, 1:4])
+
+
+def test_baked_scan_artifact_streaming_file(tmp_path):
+    """Constant-memory file serving (--stream-chunk) from a baked-scan
+    artifact: serves at the baked segment length, and a mismatched chunk
+    fails BEFORE any output file is created (the round-2 failure mode was a
+    mid-run error leaving a truncated 1-frame output on disk)."""
+    import os
+
+    from stabnet_tpu.data.synthetic import make_video
+    from stabnet_tpu.stream import DeployOptions, StreamDriver, video_io
+    from stabnet_tpu.stream.export import ExportedEngine, export_scan_segment
+
+    if not video_io.HAVE_CV2:
+        pytest.skip("needs OpenCV file I/O")
+
+    model, variables = _setup()
+    K, T = 4, 10
+    step_data = export_stream_step(model, variables, CFG, OUT_HW, streams=1)
+    scan_data = export_scan_segment(model, variables, CFG, OUT_HW,
+                                    streams=1, segment=K)
+    eng = ExportedEngine(step_data, CFG, OUT_HW, streams=1,
+                         scan_data=scan_data, segment=K)
+    driver = StreamDriver(eng, DeployOptions(output_size=OUT_HW))
+
+    clip = make_video(T, *OUT_HW, seed=2, jitter=3.0)
+    src = str(tmp_path / "clip.avi")
+    w = video_io.VideoWriter(src, 30.0, OUT_HW)
+    for f in clip:
+        w.write(f)
+    w.close()
+
+    # Mismatched chunk: clear error, and nothing written to disk.
+    with pytest.raises(ValueError, match="baked"):
+        driver.stabilize_file(src, str(tmp_path / "bad"),
+                              stream_chunk=K + 1)
+    assert not os.path.exists(str(tmp_path / "bad"))
+
+    res = driver.stabilize_file(src, str(tmp_path / "out"), stream_chunk=K)
+    assert res.frames is None  # constant-memory contract: nothing buffered
+    assert res.num_frames == T
+    out_path = str(tmp_path / "out" / "output" / "clip.avi.avi")
+    out = np.stack(list(video_io.VideoReader(out_path,
+                                             allow_half_rate=False)))
+    assert out.shape == (T, *OUT_HW, 3)
+
+    # Same accumulators as the artifact's batch path on the decoded frames
+    # (both ride the identical baked segment scan).
+    decoded = np.stack(list(video_io.VideoReader(src)))
+    res_batch = driver.stabilize_batch([decoded])[0]  # chunk auto-adopts K
+    assert res.crop_rect == res_batch.crop_rect
+    np.testing.assert_array_equal(res.all_black, res_batch.all_black)

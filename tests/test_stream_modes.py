@@ -140,12 +140,17 @@ def test_streaming_file_bounded_memory(tmp_path):
     """A long clip streams within a host-memory bound far below its size.
 
     600 frames of 192x256x3 output is ~88 MB buffered (plus model-scale
-    grays); the streaming path must hold only O(chunk) of it.  RSS is
-    noisy, so the bound is generous but still several times smaller than
-    what buffering would need at 1080p-scale clips — the point is the
-    growth is flat in T, checked by comparing a short and a long run.
+    grays); the streaming path must hold only O(chunk) of it.  Each
+    measurement runs in a FRESH subprocess and reports whole-process peak
+    RSS (ru_maxrss is a lifetime high-water mark, so in-process deltas flake
+    with test ordering): 10x the frames must not move the peak by more than
+    a fraction of what buffering would add.
     """
-    import resource
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "streaming_rss_worker.py")
 
     def run(T):
         clip_path = str(tmp_path / f"long_{T}.avi")
@@ -156,15 +161,15 @@ def test_streaming_file_bounded_memory(tmp_path):
             dx = int(rng.uniform(-4, 4))
             w.write(np.roll(base, dx, axis=1))
         w.close()
-        driver = build_driver(output_size=(192, 256))
-        before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-        driver.stabilize_file(clip_path, str(tmp_path / f"out_{T}"),
-                              stream_chunk=16)
-        after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-        return after - before  # KB on Linux
+        proc = subprocess.run(
+            [sys.executable, worker, clip_path, str(tmp_path / f"out_{T}"),
+             "16", "192", "256"],
+            capture_output=True, text=True, timeout=1200)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return int(proc.stdout.strip().split()[-1])  # peak RSS, KB on Linux
 
-    grow_short = run(60)
-    grow_long = run(600)
-    # The long run is 10x the frames; its extra peak-RSS growth must not
-    # scale with T (buffering would add ~80 MB here).
-    assert grow_long - grow_short < 40_000, (grow_short, grow_long)
+    peak_short = run(60)
+    peak_long = run(600)
+    # Buffering 540 extra output frames would add ~80 MB to the long run's
+    # peak; the streaming path's peak must stay flat in T.
+    assert peak_long - peak_short < 40_000, (peak_short, peak_long)
