@@ -31,6 +31,31 @@ def build_driver(**opt_kw):
     return StreamDriver(engine, DeployOptions(**opt_kw))
 
 
+def test_reconcile_chunk():
+    """Chunk-vs-baked-segment reconciliation (one owner for CLI and API):
+    live engines pass requests through; baked artifacts force their segment
+    and reject conflicts before any output exists."""
+
+    class FakeLive:
+        cfg = CFG
+
+    class FakeBaked:
+        cfg = CFG
+        segment = 64
+
+    from stabnet_tpu.stream import StreamDriver
+
+    live = StreamDriver(FakeLive())
+    assert live.reconcile_chunk(None) is None
+    assert live.reconcile_chunk(16) == 16
+
+    baked = StreamDriver(FakeBaked())
+    assert baked.reconcile_chunk(None) == 64   # adopt the baked length
+    assert baked.reconcile_chunk(64) == 64
+    with pytest.raises(ValueError, match="baked 64-frame"):
+        baked.reconcile_chunk(16)
+
+
 @pytest.mark.slow
 def test_pipelined_matches_sync():
     """The 1-frame readback lag must not change a single output byte."""
