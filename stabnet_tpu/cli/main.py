@@ -664,6 +664,10 @@ def main(argv=None):
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)
 
+    from stabnet_tpu.cli import doctor as _doctor
+
+    _doctor.add_parser(sub)
+
     p = sub.add_parser("convert-ckpt", help="reference TF checkpoint -> orbax")
     p.add_argument("--tf-checkpoint", required=True)
     p.add_argument("--out", required=True)

@@ -1,0 +1,54 @@
+"""`stabnet-tpu doctor`: bounded rig diagnostics (stabnet_tpu/cli/doctor.py).
+
+The one behavior that matters most is the negative one: a wedged backend
+must be REPORTED within the deadline, not waited out — the failure mode is
+real on tunneled TPU rigs (BASELINE.md rig notes)."""
+
+import json
+
+import pytest
+
+from stabnet_tpu.cli.doctor import run_doctor
+
+
+def test_host_and_mesh_checks_pass():
+    report = run_doctor(timeout_s=300.0, checks=["host", "mesh"])
+    assert report["checks"]["host"]["ok"]
+    assert report["checks"]["host"]["cpus"] >= 1
+    mesh = report["checks"]["mesh"]
+    assert mesh["ok"], mesh
+    assert mesh["mesh_devices"] == 8
+    assert report["ok"]
+
+
+@pytest.mark.slow
+def test_backend_check_reports_cpu_liveness():
+    # On any host the CPU/accelerator backend probe must complete and report
+    # a first computation (the real liveness signal, not just enumeration).
+    report = run_doctor(timeout_s=300.0, checks=["backend"])
+    backend = report["checks"]["backend"]
+    assert backend["ok"], backend
+    assert backend["device_count"] >= 1
+    assert backend["first_compute_seconds"] < 300.0
+
+
+def test_wedged_backend_is_reported_not_waited_out(monkeypatch):
+    monkeypatch.setenv("STABNET_DOCTOR_FAKE_HANG", "backend")
+    report = run_doctor(timeout_s=3.0, checks=["backend"])
+    backend = report["checks"]["backend"]
+    assert backend["ok"] is False
+    assert "wedged" in backend["error"]
+    assert backend["seconds"] < 30.0
+    assert report["ok"] is False
+
+
+def test_cli_wiring(monkeypatch, capsys):
+    # The subcommand parses, runs, and prints JSON; a failed check exits 1.
+    from stabnet_tpu.cli.main import main
+
+    monkeypatch.setenv("STABNET_DOCTOR_FAKE_HANG", "backend")
+    with pytest.raises(SystemExit) as exc:
+        main(["doctor", "--only", "backend", "--timeout", "3", "--compact"])
+    assert exc.value.code == 1
+    report = json.loads(capsys.readouterr().out)
+    assert report["ok"] is False
