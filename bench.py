@@ -271,5 +271,37 @@ def main():
     print(json.dumps(headline))
 
 
+def _main_with_retries():
+    """Bounded re-attempts around a wedged-backend abort.
+
+    The watchdog turns a wedged TPU tunnel into a loud rc=3 (see
+    _arm_init_watchdog), but the observed wedge often releases within
+    minutes (BASELINE.md rig notes) — and the benchmark artifact is worth a
+    second try.  The measurement must run in a FRESH process (the blocked
+    first attempt can't recover in-process: its thread is stuck inside
+    backend init), so the parent relaunches itself with
+    STABNET_BENCH_CHILD=1 and retries only on the watchdog's rc=3, with a
+    pause for the tunnel to release.  Any other exit (success, real crash)
+    passes straight through.  STABNET_BENCH_ATTEMPTS=1 disables retries.
+    """
+    attempts = max(1, int(os.environ.get("STABNET_BENCH_ATTEMPTS", "2")))
+    if os.environ.get("STABNET_BENCH_CHILD") or attempts == 1:
+        main()
+        return
+    import subprocess
+    env = dict(os.environ, STABNET_BENCH_CHILD="1")
+    for i in range(attempts):
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc != 3:
+            sys.exit(rc)
+        if i + 1 < attempts:
+            pause = float(os.environ.get("STABNET_BENCH_RETRY_PAUSE_S", "120"))
+            print(f"bench: attempt {i + 1}/{attempts} hit the init watchdog; "
+                  f"retrying in {pause:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(pause)
+    sys.exit(3)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retries()

@@ -37,6 +37,27 @@ def test_fires_when_never_disarmed():
     assert "unreachable" not in r.stdout
 
 
+def test_retry_wrapper_relaunches_on_watchdog_abort():
+    # A watchdog short enough that backend init can't beat it makes every
+    # child attempt exit 3; the parent must retry (announcing it) and only
+    # then give up with rc=3.  Success/crash exits pass through untested
+    # here — they take the sys.exit(rc) fast path.
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        STABNET_BENCH_WATCHDOG_S="0.05",
+        STABNET_BENCH_ATTEMPTS="2",
+        STABNET_BENCH_RETRY_PAUSE_S="0",
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 3
+    assert "retrying" in r.stderr
+    assert r.stderr.count("wedged") == 2  # both attempts fired the watchdog
+
+
 def test_silent_when_disarmed():
     r = _run(
         "import bench, time\n"
