@@ -49,7 +49,9 @@ def measure(S):
     print(f"S={S:3d}  {best:7.1f} fps/chip")
 
 
-for S in (8, 12, 16, 24):
+values = ([int(v) for v in sys.argv[1:]] if len(sys.argv) > 1
+          else [8, 12, 16, 24])
+for S in values:
     try:
         measure(S)
     except Exception as e:
