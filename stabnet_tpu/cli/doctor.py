@@ -46,13 +46,22 @@ devs = jax.devices()
 t_enum = time.time() - t0
 x = float(jnp.arange(128.0).sum())           # first computation + readback
 assert x == 8128.0, x
-print(json.dumps({
+report = {
     "platform": jax.default_backend(),
     "devices": [str(d) for d in devs],
     "device_count": len(devs),
     "enumerate_seconds": round(t_enum, 3),
     "first_compute_seconds": round(time.time() - t0, 3),
-}))
+}
+try:                                          # capacity signal for serving
+    stats = devs[0].memory_stats() or {}
+    if "bytes_limit" in stats:
+        report["hbm_gb"] = round(stats["bytes_limit"] / 2**30, 1)
+        report["hbm_in_use_gb"] = round(
+            stats.get("bytes_in_use", 0) / 2**30, 2)
+except Exception:
+    pass                                      # not all backends expose stats
+print(json.dumps(report))
 """
 
 _PALLAS_PROBE = """
