@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -82,9 +83,13 @@ else:
 """
 
 _MESH_PROBE = """
-import json, os, time
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8").strip()
+import json, os, re, time
+# Replace (not append next to) any inherited device-count flag: duplicate
+# conflicting flags make the winner an XLA implementation detail.
+flags = re.sub(r"--xla_force_host_platform_device_count=\\S+", "",
+               os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
@@ -101,7 +106,19 @@ print(json.dumps({"mesh_devices": int(mesh.devices.size),
 
 
 def _run_probe(code: str, timeout_s: float, env_overrides=None) -> dict:
-    """Run probe code in a subprocess; never block past the deadline."""
+    """Run probe code in a subprocess; never block past the deadline.
+
+    The deadline must hold even against the exact failure doctor exists to
+    diagnose: a child wedged in uninterruptible kernel sleep mid-RPC can
+    ignore SIGKILL, so after killing the child's process group the parent
+    waits only a few seconds and then ORPHANS the child and returns the
+    wedged-backend report anyway (round-3 advisor finding — subprocess.run's
+    TimeoutExpired path calls wait() with no bound).
+    """
+    if timeout_s < 1.0:
+        return {"ok": False, "seconds": 0.0,
+                "error": "total doctor budget exhausted before this probe "
+                         "ran (an earlier probe consumed the deadline)"}
     env = dict(os.environ)
     # Probes must see the repo package even when doctor runs from elsewhere.
     root = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -109,24 +126,34 @@ def _run_probe(code: str, timeout_s: float, env_overrides=None) -> dict:
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     env.update(env_overrides or {})
     t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=env,
+        start_new_session=True,    # own process group: killpg can't hit us
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout_s, env=env,
-        )
+        stdout, stderr = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:
+            proc.wait(timeout=5.0)
+        except subprocess.TimeoutExpired:
+            pass  # SIGKILL-immune (kernel D-state): orphan it, report anyway
         return {
             "ok": False,
             "seconds": round(time.time() - t0, 1),
             "error": f"probe did not respond within {timeout_s:.0f}s — "
                      "backend wedged or severely overloaded",
         }
-    out = proc.stdout.strip().splitlines()
+    out = stdout.strip().splitlines()
     if proc.returncode != 0 or not out:
         return {
             "ok": False,
             "seconds": round(time.time() - t0, 1),
-            "error": (proc.stderr or "no output").strip()[-500:],
+            "error": (stderr or "no output").strip()[-500:],
         }
     try:
         detail = json.loads(out[-1])
@@ -153,23 +180,43 @@ def _host_check() -> dict:
     return info
 
 
+_ALL_CHECKS = ("host", "backend", "pallas", "mesh")
+
+
 def run_doctor(timeout_s: float = 120.0, checks=None) -> dict:
-    """Run the probes; return the report dict (see module docstring)."""
+    """Run the probes; return the report dict (see module docstring).
+
+    `timeout_s` is the TOTAL budget: each device-touching probe gets what is
+    left of it, so even with every probe wedged the call returns within
+    ~timeout_s (+ a few seconds of kill grace), not checks*timeout_s.
+    `checks=None` means all; an explicit empty list and unknown names are
+    errors (a vacuous {"checks": {}, "ok": true} must be impossible).
+    """
+    if checks is None:
+        checks = _ALL_CHECKS
+    unknown = set(checks) - set(_ALL_CHECKS)
+    if unknown:
+        raise ValueError(f"unknown doctor checks: {sorted(unknown)}; "
+                         f"valid: {list(_ALL_CHECKS)}")
+    if not checks:
+        raise ValueError("empty check list — pass None for all checks")
     hang = os.environ.get("STABNET_DOCTOR_FAKE_HANG")  # test hook
-    wanted = set(checks or ("host", "backend", "pallas", "mesh"))
+    wanted = set(checks)
+    deadline = time.time() + timeout_s
+    remaining = lambda: deadline - time.time()  # noqa: E731
     report: dict = {"checks": {}}
     if "host" in wanted:
         report["checks"]["host"] = _host_check()
     if "backend" in wanted:
         code = ("import time; time.sleep(3600)" if hang == "backend"
                 else _BACKEND_PROBE)
-        report["checks"]["backend"] = _run_probe(code, timeout_s)
+        report["checks"]["backend"] = _run_probe(code, remaining())
     if "pallas" in wanted:
-        report["checks"]["pallas"] = _run_probe(_PALLAS_PROBE, timeout_s)
+        report["checks"]["pallas"] = _run_probe(_PALLAS_PROBE, remaining())
     if "mesh" in wanted:
         # Independent of the accelerator: force the CPU platform.
         report["checks"]["mesh"] = _run_probe(
-            _MESH_PROBE, timeout_s, env_overrides={"JAX_PLATFORMS": "cpu"})
+            _MESH_PROBE, remaining(), env_overrides={"JAX_PLATFORMS": "cpu"})
     report["ok"] = all(c.get("ok") for c in report["checks"].values())
     return report
 
@@ -188,10 +235,11 @@ def add_parser(sub) -> None:
         help="bounded rig diagnostics: backend liveness, Pallas path, "
              "virtual mesh (never hangs on a wedged accelerator)")
     p.add_argument("--timeout", type=float, default=120.0,
-                   help="per-probe deadline in seconds (default 120; a "
-                        "wedged tunnel is reported, not waited out)")
+                   help="TOTAL deadline in seconds across all probes "
+                        "(default 120; a wedged tunnel is reported within "
+                        "this bound, not waited out)")
     p.add_argument("--only", nargs="+", default=None,
-                   choices=["host", "backend", "pallas", "mesh"],
+                   choices=list(_ALL_CHECKS),
                    help="run a subset of checks")
     p.add_argument("--compact", action="store_true",
                    help="single-line JSON")

@@ -107,11 +107,21 @@ def scale_theta_head(variables, factor: float = 0.05):
     ("head"/"out" in resnet.py) — a rename must update this, not silently
     no-op four scattered copies.
     """
+    def is_theta_out(path) -> bool:
+        # Exact ADJACENT module path ("head", "out") — substring matching on
+        # the stringified path could silently scale an unrelated future param
+        # that happens to contain "out" (round-3 advisor finding).
+        keys = [getattr(k, "key", None) for k in path]
+        return any(keys[i] == "head" and keys[i + 1] == "out"
+                   for i in range(len(keys) - 1))
+
     hit = []
     out = jax.tree_util.tree_map_with_path(
-        lambda p, a: (hit.append(p) or a * factor)
-        if "head" in str(p) and "out" in str(p) else a,
+        lambda p, a: (hit.append(p) or a * factor) if is_theta_out(p) else a,
         variables,
     )
-    assert hit, "no head/out parameters matched — model naming changed?"
+    # Exactly the theta layer's kernel+bias — a rename or an extra match must
+    # fail loudly here, not skew a benchmark silently.
+    assert len(hit) == 2, (
+        f"expected exactly (head, out) kernel+bias, matched {hit}")
     return out

@@ -1,16 +1,33 @@
-"""The bench init watchdog: fires on a wedged backend, is silent otherwise."""
+"""bench.py failure-mode machinery: init watchdog, total deadline, retries.
 
+Round 3's bench artifact landed rc=124/null because the recovery machinery
+itself (600s watchdog + 120s pause + 600s retry) outlived the driver's kill
+window.  Round 4 restructured bench.py around ONE total deadline; these
+tests pin the deadline math without touching a backend.
+"""
+
+import json
 import os
 import subprocess
 import sys
+import time
 
 _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _run(body: str) -> subprocess.CompletedProcess:
+def _run(body: str, env=None) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, "-c", f"import sys; sys.path.insert(0, {_REPO!r})\n" + body],
         capture_output=True, text=True, timeout=60,
+        env=dict(os.environ, **(env or {})),
+    )
+
+
+def _run_bench(env) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, **env),
     )
 
 
@@ -32,30 +49,9 @@ def test_fires_when_never_disarmed():
         "time.sleep(8)\n"
         "print('unreachable')\n"
     )
-    assert r.returncode == 3
+    assert r.returncode == 113  # bench.WATCHDOG_EXIT_CODE — distinctive
     assert "wedged" in r.stderr
     assert "unreachable" not in r.stdout
-
-
-def test_retry_wrapper_relaunches_on_watchdog_abort():
-    # A watchdog short enough that backend init can't beat it makes every
-    # child attempt exit 3; the parent must retry (announcing it) and only
-    # then give up with rc=3.  Success/crash exits pass through untested
-    # here — they take the sys.exit(rc) fast path.
-    env = dict(
-        os.environ,
-        JAX_PLATFORMS="cpu",
-        STABNET_BENCH_WATCHDOG_S="0.05",
-        STABNET_BENCH_ATTEMPTS="2",
-        STABNET_BENCH_RETRY_PAUSE_S="0",
-    )
-    r = subprocess.run(
-        [sys.executable, os.path.join(_REPO, "bench.py")],
-        capture_output=True, text=True, timeout=120, env=env,
-    )
-    assert r.returncode == 3
-    assert "retrying" in r.stderr
-    assert r.stderr.count("wedged") == 2  # both attempts fired the watchdog
 
 
 def test_silent_when_disarmed():
@@ -67,3 +63,105 @@ def test_silent_when_disarmed():
     )
     assert r.returncode == 0
     assert "survived" in r.stdout
+
+
+def test_retry_wrapper_relaunches_on_watchdog_abort():
+    # A simulated wedge on EVERY attempt (the fake-wedge hook sleeps before
+    # backend init) makes each child exit WATCHDOG_EXIT_CODE; with budget to
+    # spare the parent must retry (announcing it) and only then give up.
+    env = dict(
+        JAX_PLATFORMS="cpu",
+        STABNET_BENCH_WATCHDOG_S="0.5",
+        STABNET_BENCH_ATTEMPTS="2",
+        STABNET_BENCH_RETRY_PAUSE_S="0",
+        STABNET_BENCH_DEADLINE_S="600",
+        STABNET_BENCH_FAKE_WEDGE_ATTEMPTS="0,1",
+    )
+    r = _run_bench(env)
+    assert r.returncode == 113
+    assert "retrying" in r.stderr
+    assert r.stderr.count("wedged") == 2  # both attempts fired the watchdog
+
+
+def test_no_retry_when_budget_spent():
+    # Same wedge, but the total deadline leaves less than the minimum retry
+    # budget after the first abort: the parent must give up immediately
+    # (ONE watchdog fire, no "retrying") instead of burning the driver's
+    # window on a doomed second attempt — the exact r03 failure.
+    env = dict(
+        JAX_PLATFORMS="cpu",
+        STABNET_BENCH_WATCHDOG_S="0.5",
+        STABNET_BENCH_ATTEMPTS="2",
+        STABNET_BENCH_RETRY_PAUSE_S="0",
+        STABNET_BENCH_DEADLINE_S="30",   # < watchdog + MIN_RETRY_S after abort
+        STABNET_BENCH_MIN_RETRY_S="150",
+        STABNET_BENCH_FAKE_WEDGE_ATTEMPTS="0,1",
+    )
+    r = _run_bench(env)
+    assert r.returncode == 113
+    assert "retrying" not in r.stderr
+    assert r.stderr.count("wedged") == 1
+
+
+def test_deadline_guard_exits_zero_with_partial_results():
+    # Once any leg has emitted a headline, hitting the total deadline must be
+    # a CLEAN rc=0 exit (the driver parses the already-printed line), even
+    # while the main thread is blocked (simulated by a long sleep).
+    r = _run(
+        "import bench, json, sys, time\n"
+        "state = {'emitted': False}\n"
+        "bench._arm_deadline_guard(time.time() + 1.0, state)\n"
+        "print(json.dumps({'metric': 'stabilized_720p_throughput',"
+        " 'value': 1.0, 'unit': 'frames/s/chip', 'vs_baseline': 0.002}),"
+        " flush=True)\n"
+        "state['emitted'] = True\n"
+        "time.sleep(30)\n"
+        "print('unreachable')\n"
+    )
+    assert r.returncode == 0
+    assert "deadline reached" in r.stderr
+    headline = json.loads(r.stdout.strip().splitlines()[-1])
+    assert headline["metric"] == "stabilized_720p_throughput"
+    assert "unreachable" not in r.stdout
+
+
+def test_deadline_guard_exits_112_without_results():
+    r = _run(
+        "import bench, time\n"
+        "bench._arm_deadline_guard(time.time() + 1.0, {'emitted': False})\n"
+        "time.sleep(30)\n"
+    )
+    assert r.returncode == 112  # bench.NO_MEASUREMENT_EXIT_CODE
+    assert "before any measurement" in r.stderr
+
+
+def test_watchdog_shrinks_to_fit_deadline():
+    # With only ~25s of budget left, the child must not arm a 150s watchdog:
+    # the wedge has to be detected inside the remaining window.  (Direct
+    # child invocation; the deadline is passed the way the parent passes it.)
+    t0 = time.time()
+    env = dict(
+        JAX_PLATFORMS="cpu",
+        STABNET_BENCH_CHILD="1",
+        STABNET_BENCH_DEADLINE_TS=repr(time.time() + 25.0),
+        STABNET_BENCH_FAKE_WEDGE_ATTEMPTS="0",
+    )
+    r = _run_bench(env)
+    took = time.time() - t0
+    # Either the (shrunk-to-10s-floor) watchdog fired or the deadline guard
+    # did; both are honest bounded exits well inside the old 600s default.
+    assert r.returncode in (112, 113)
+    assert took < 40
+
+
+def test_default_budget_fits_driver_window(monkeypatch):
+    # The driver kill window is <= 600s (BENCH_r03 died at rc=124 before the
+    # old 600s watchdog fired even once).  Whatever the env does, the default
+    # deadline + worst-case single retry must leave margin inside 600s.
+    import bench
+
+    for var in ("STABNET_BENCH_DEADLINE_S", "STABNET_BENCH_DEADLINE_TS"):
+        monkeypatch.delenv(var, raising=False)
+    t0 = time.time()
+    deadline = bench._deadline_ts()
+    assert deadline - t0 <= 540

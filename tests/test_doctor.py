@@ -42,6 +42,32 @@ def test_wedged_backend_is_reported_not_waited_out(monkeypatch):
     assert report["ok"] is False
 
 
+def test_total_budget_spans_all_probes(monkeypatch):
+    # timeout_s is the TOTAL deadline: with the backend probe wedged and a
+    # tiny budget, the later probes must be short-circuited ("budget
+    # exhausted"), not each given their own full deadline.
+    import time as _time
+
+    monkeypatch.setenv("STABNET_DOCTOR_FAKE_HANG", "backend")
+    t0 = _time.time()
+    report = run_doctor(timeout_s=3.0, checks=["backend", "pallas", "mesh"])
+    took = _time.time() - t0
+    assert took < 30.0, took  # not 3 probes x 3s + 3 python startups
+    assert report["ok"] is False
+    assert "wedged" in report["checks"]["backend"]["error"]
+    later = [report["checks"]["pallas"], report["checks"]["mesh"]]
+    assert any("budget exhausted" in c.get("error", "") for c in later)
+
+
+def test_empty_and_unknown_checks_are_errors():
+    # A vacuous {"checks": {}, "ok": true} must be impossible (round-3
+    # advisor finding: `checks or (...)` treated [] as "all").
+    with pytest.raises(ValueError):
+        run_doctor(checks=[])
+    with pytest.raises(ValueError):
+        run_doctor(checks=["host", "gpu"])
+
+
 def test_cli_wiring(monkeypatch, capsys):
     # The subcommand parses, runs, and prints JSON; a failed check exits 1.
     from stabnet_tpu.cli.main import main
