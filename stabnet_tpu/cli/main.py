@@ -301,16 +301,14 @@ def cmd_stabilize(args):
             if args.metrics:
                 import json
 
-                import numpy as np
+                from stabnet_tpu.eval import score_stabilized_clip
 
-                from stabnet_tpu.eval import evaluate_clip
-                from stabnet_tpu.stream.video_io import to_gray_train
-
-                out_gray = np.stack([to_gray_train(f, cfg.height, cfg.width)
-                                     for f in res.frames])
-                in_gray = res.input_gray  # decoded once in stabilize_file
-                n = min(len(out_gray), len(in_gray))
-                scores = evaluate_clip(out_gray[:n], in_gray[:n])
+                # input_gray decoded once in stabilize_file; the same record
+                # the quality gate scores, incl. the input's own stability
+                # and the retained crop area.
+                scores = score_stabilized_clip(
+                    res.frames, res.input_gray, (cfg.height, cfg.width),
+                    crop_rect=res.crop_rect)
                 scores["video"] = name
                 print(json.dumps(scores))
         except Exception as e:  # keep going; one bad clip must not kill the batch
@@ -390,14 +388,12 @@ def _stabilize_batched(args, driver, videos):
             if args.metrics:
                 import json
 
-                from stabnet_tpu.eval import evaluate_clip
-                from stabnet_tpu.stream.video_io import to_gray_train
+                from stabnet_tpu.eval import score_stabilized_clip
 
-                out_gray = np.stack([
-                    to_gray_train(f, driver.cfg.height, driver.cfg.width)
-                    for f in res.frames])
-                n = min(len(out_gray), len(res.input_gray))
-                scores = evaluate_clip(out_gray[:n], res.input_gray[:n])
+                scores = score_stabilized_clip(
+                    res.frames, res.input_gray,
+                    (driver.cfg.height, driver.cfg.width),
+                    crop_rect=res.crop_rect)
                 scores["video"] = name
                 print(json.dumps(scores))
     if failures:

@@ -3,6 +3,7 @@ from stabnet_tpu.eval.metrics import (
     distortion_score,
     evaluate_clip,
     fit_homographies,
+    score_stabilized_clip,
     stability_score,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "distortion_score",
     "evaluate_clip",
     "fit_homographies",
+    "score_stabilized_clip",
     "stability_score",
 ]

@@ -234,3 +234,45 @@ def evaluate_clip(output_gray: jax.Array,
         out["cropping"] = float(cropping_score(Hs_cross))
         out["distortion"] = float(distortion_score(Hs_cross))
     return out
+
+
+def score_stabilized_clip(output_frames, input_gray, model_hw: Tuple[int, int],
+                          crop_rect: Tuple[int, int, int, int] = None,
+                          include_input_stability: bool = True,
+                          ) -> Dict[str, float]:
+    """The full per-clip quality record the CLI and the quality gate share.
+
+    One call turns any stabilize run into quality evidence: the stabilized
+    output is rescored at model scale against the model-scale input stream
+    (exactly what the quality gate measures), plus the input's own stability
+    as the improvement anchor and the retained crop area when the exact
+    black-border rect is known (the reference's _cut.avi crop,
+    deploy_bundle.py:344-371).
+
+    Args:
+      output_frames: (T, Ho, Wo, 3) uint8 stabilized color frames (any size).
+      input_gray: (T, H, W) model-scale grayscale input frames.
+      model_hw: (H, W) model scale for rescoring the output.
+      crop_rect: optional (top, left, bottom, right) max-clear-rect at
+        model scale.
+
+    Returns:
+      dict with stability / cropping / distortion / stability_input and,
+      when crop_rect is given, crop_area — all in (0, 1], higher is better.
+    """
+    from stabnet_tpu.stream.video_io import to_gray_train
+
+    h, w = model_hw
+    out_gray = np.stack([to_gray_train(np.asarray(f), h, w)
+                         for f in output_frames])
+    input_gray = np.asarray(input_gray)
+    n = min(len(out_gray), len(input_gray))
+    scores = evaluate_clip(out_gray[:n], input_gray[:n])
+    if include_input_stability:  # skippable: it costs a full flow pass
+        scores["stability_input"] = float(
+            evaluate_clip(input_gray[:n])["stability"])
+    if crop_rect is not None:
+        top, left, bot, right = crop_rect
+        scores["crop_area"] = float(
+            (bot - top + 1) * (right - left + 1) / (h * w))
+    return scores
