@@ -138,6 +138,10 @@ def cmd_train(args):
     initialize_distributed()  # no-op unless a coordinator is configured
 
     cfg = get_config(args.config)
+    if args.set:
+        from stabnet_tpu.config import apply_overrides
+
+        cfg = apply_overrides(cfg, args.set)
     if args.model_dir:
         cfg = cfg.replace(model_dir=args.model_dir)
     if args.log_dir:
@@ -595,6 +599,11 @@ def main(argv=None):
                         "TensorBoard event files under <log-dir>/tb "
                         "(reference observability, train_bundle_nobm.py:128-153)")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override a config field (repeatable), e.g. "
+                        "--set step_size=4000 --set lr_decay_rate=0.1; the "
+                        "named --config stays the base, every deviation is "
+                        "visible on the command line")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--compute-flow", action="store_true",
                    help="estimate the temporal-loss flow on device (TV-L1, "

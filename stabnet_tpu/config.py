@@ -176,3 +176,46 @@ def get_config(name: str = "v2_93") -> StabNetConfig:
         return _REGISTRY[name]
     except KeyError:
         raise KeyError(f"unknown config '{name}'; known: {sorted(_REGISTRY)}")
+
+
+def apply_overrides(cfg: StabNetConfig, assignments) -> StabNetConfig:
+    """Apply "key=value" override strings, coerced to each field's type.
+
+    Powers `train --set key=value` (the reference edits configs/v2_93.py by
+    hand; a registry config plus explicit per-run overrides keeps every
+    deviation from the named experiment visible on the command line).
+    Booleans accept true/false/1/0/yes/no; fields whose current value is
+    None are parsed as int, then float, then kept as string.
+    """
+    import dataclasses as _dc
+
+    fields = {f.name for f in _dc.fields(cfg)}
+    kw = {}
+    for a in assignments:
+        key, eq, raw = a.partition("=")
+        if not eq:
+            raise ValueError(f"--set expects key=value, got {a!r}")
+        if key not in fields:
+            raise KeyError(f"unknown config field {key!r}; known: "
+                           f"{sorted(fields)}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            low = raw.lower()
+            if low not in ("true", "false", "1", "0", "yes", "no"):
+                raise ValueError(f"--set {key}: not a boolean: {raw!r}")
+            kw[key] = low in ("true", "1", "yes")
+        elif isinstance(cur, (int, float, str)):
+            kw[key] = type(cur)(raw)
+        elif isinstance(cur, tuple):
+            kw[key] = tuple(type(cur[0])(v) if cur else v
+                            for v in raw.split(","))
+        else:  # None or exotic: best-effort scalar parse
+            for typ in (int, float):
+                try:
+                    kw[key] = typ(raw)
+                    break
+                except ValueError:
+                    continue
+            else:
+                kw[key] = raw
+    return cfg.replace(**kw)

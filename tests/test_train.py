@@ -184,3 +184,22 @@ def test_one_step_run_checkpoints_and_resumes(tmp_path):
     state, _ = run_train(cfg, batches, restore=True, num_steps=2)
     assert int(state.step) == 2
     assert ckpt.latest_step(cfg.model_dir) == 2
+
+
+def test_config_set_overrides():
+    # `train --set key=value` (config.apply_overrides): typed coercion,
+    # loud failure on unknown fields / malformed assignments.
+    from stabnet_tpu.config import apply_overrides
+
+    cfg = apply_overrides(
+        get_config("tiny"),
+        ["step_size=4000", "initial_learning_rate=1e-4", "name=endur",
+         "indices=0,1,2,3"])
+    assert cfg.step_size == 4000 and isinstance(cfg.step_size, int)
+    assert cfg.initial_learning_rate == 1e-4
+    assert cfg.name == "endur"
+    assert cfg.indices == (0, 1, 2, 3)
+    with pytest.raises(KeyError):
+        apply_overrides(cfg, ["no_such_field=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["step_size"])
