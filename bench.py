@@ -137,7 +137,11 @@ def main():
     # after a minimal measurement (~120 s for init + the headline leg).
     # A comma list gives per-attempt values (test hook: a short fuse for the
     # simulated-wedge attempt, a CI-sized one for the healthy retry).
-    wd_parts = os.environ.get("STABNET_BENCH_WATCHDOG_S", "150").split(",")
+    # Attempt 0 waits long: observed wedges release while the client WAITS
+    # (276 s recovery, 2026-08-20), whereas force-exiting mid-RPC renews the
+    # dead-session claim (BASELINE.md rig notes) — so one patient wait beats
+    # abort+retry.  The retry attempt keeps a short fuse for the remaining budget.
+    wd_parts = os.environ.get("STABNET_BENCH_WATCHDOG_S", "300,150").split(",")
     attempt = int(os.environ.get("STABNET_BENCH_ATTEMPT", "0"))
     watchdog_s = float(wd_parts[min(attempt, len(wd_parts) - 1)])
     if deadline != float("inf") and watchdog_s > 0:
@@ -185,7 +189,10 @@ def main():
                     os.environ.get("STABNET_BENCH_OUT", "720,1280").split(","))
     T = int(os.environ.get("STABNET_BENCH_T", "61"))    # frames/clip (T-1 processed)
     assert T >= 9, "need >= 9 frames for the slope and latency legs"
-    S = int(os.environ.get("STABNET_BENCH_S", "8"))     # streams per chip, batch mode
+    # S=6 measured best at 720p too (round-4 sweep, twice, scripts/s_sweep.py):
+    # 877/879 fps/chip vs 747 at S=8, 869/864 at S=7, 831 at S=5, 834-839 at
+    # S=4, 590 at S=10 — monotone falloff both sides of 6.  BASELINE.md round 4.
+    S = int(os.environ.get("STABNET_BENCH_S", "6"))     # streams per chip, batch mode
     repeats = int(os.environ.get("STABNET_BENCH_REPEATS", "2"))
 
     # On a multi-chip rig the batch leg shards S streams per chip over the
