@@ -56,9 +56,9 @@ def _honor_jax_platforms_env() -> None:
 
 
 def build_config(args):
-    from stabnet_tpu.config import get_config
+    from stabnet_tpu.config import apply_overrides, get_config
 
-    return get_config("tiny").replace(
+    cfg = get_config("tiny").replace(
         name="quality",
         batch_size=args.batch_size,
         # Overfit-ish LR for the small geometry (production is 2e-5 for
@@ -77,6 +77,10 @@ def build_config(args):
         model_dir=os.path.join(args.workdir, "model"),
         log_dir=os.path.join(args.workdir, "log"),
     )
+    # Last: explicit per-run knob overrides (e.g. a distortion control such
+    # as --set consistency_mul=40), so the run-of-record log shows exactly
+    # what deviated from the gate's defaults.
+    return apply_overrides(cfg, args.set)
 
 
 def ensure_dataset(path: str, cfg, num: int, seed: int) -> None:
@@ -141,6 +145,10 @@ def run_gate(args) -> dict:
 
     import jax
 
+    from stabnet_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from stabnet_tpu.models import init_variables, make_model
 
     cfg = build_config(args)
@@ -171,6 +179,7 @@ def run_gate(args) -> dict:
         "clips": args.clips,
         "frames": args.frames,
         "jitters": jitters,
+        "overrides": list(args.set),
         "final_train_loss": float(aux["total"]) if aux else None,
         "stability_input": stab_in,
         "stability_trained": stab_tr,
@@ -236,6 +245,9 @@ def main(argv=None) -> int:
                    help="floor on the MEAN distortion score")
     p.add_argument("--min-clip-distortion", type=float, default=0.5,
                    help="floor on the WORST single clip's distortion score")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override (repeatable), e.g. --set "
+                        "consistency_mul=40 for a distortion control run")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/stabnet_quality_gate")
     args = p.parse_args(argv)

@@ -580,6 +580,9 @@ def cmd_make_synthetic(args):
 
 def main(argv=None):
     _honor_jax_platforms_env()
+    from stabnet_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(prog="stabnet-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

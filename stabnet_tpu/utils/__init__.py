@@ -1,6 +1,8 @@
 """Logging / profiling utilities."""
 
+from stabnet_tpu.utils.compile_cache import enable_persistent_compilation_cache
 from stabnet_tpu.utils.logging import get_logger
 from stabnet_tpu.utils.profiling import StageTimer, Timer
 
-__all__ = ["get_logger", "StageTimer", "Timer"]
+__all__ = ["enable_persistent_compilation_cache", "get_logger", "StageTimer",
+           "Timer"]

@@ -103,6 +103,25 @@ def test_no_retry_when_budget_spent():
     assert r.stderr.count("wedged") == 1
 
 
+def test_retry_wrapper_relaunches_on_release_transient():
+    # Post-wedge release transient (FAILED_PRECONDITION on the first fetch,
+    # observed 2026-08-20): the child exits TRANSIENT_INIT_EXIT_CODE instead
+    # of crashing to rc=1, and the parent retries after a SHORT pause.  Both
+    # attempts transient here, so the wrapper ends on the distinctive code.
+    env = dict(
+        JAX_PLATFORMS="cpu",
+        STABNET_BENCH_ATTEMPTS="2",
+        STABNET_BENCH_RETRY_PAUSE_S="0",
+        STABNET_BENCH_DEADLINE_S="600",
+        STABNET_BENCH_FAKE_TRANSIENT_ATTEMPTS="0,1",
+    )
+    r = _run_bench(env)
+    assert r.returncode == 114  # bench.TRANSIENT_INIT_EXIT_CODE
+    assert "transient" in r.stderr
+    assert "retrying" in r.stderr
+    assert r.stderr.count("transient error") == 2
+
+
 def test_deadline_guard_exits_zero_with_partial_results():
     # Once any leg has emitted a headline, hitting the total deadline must be
     # a CLEAN rc=0 exit (the driver parses the already-printed line), even
