@@ -170,6 +170,7 @@ def run_gate(args) -> dict:
     stab_tr = [s["stability"] for s in trained]
     stab_rd = [s["stability"] for s in random_w]
     dist_tr = [s["distortion"] for s in trained]
+    dist_rd = [s["distortion"] for s in random_w]
     wins = int(sum(t > r for t, r in zip(stab_tr, stab_rd)))
     margin = mean(stab_tr) - mean(stab_rd)
 
@@ -190,6 +191,13 @@ def run_gate(args) -> dict:
         "mean_stability_input": mean(stab_in),
         "mean_stability_trained": mean(stab_tr),
         "mean_stability_random": mean(stab_rd),
+        # The random-weights control's geometry cost, for transparency: the
+        # stability score alone rewards any warp+crop+zoom (the resampling
+        # low-passes the measured flow), so a "stable" random control that
+        # trades its geometry away is visible here, not hidden.
+        "distortion_random": dist_rd,
+        "mean_distortion_random": mean(dist_rd),
+        "min_distortion_random": float(np.min(dist_rd)),
         "mean_cropping_trained": mean([s["cropping"] for s in trained]),
         "mean_distortion_trained": mean(dist_tr),
         "min_distortion_trained": float(np.min(dist_tr)),
