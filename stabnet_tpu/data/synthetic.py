@@ -77,13 +77,23 @@ def to_gray_train(frame: np.ndarray) -> np.ndarray:
 
 
 def make_raw_example(cfg: StabNetConfig, seed: int = 0) -> Dict[str, np.ndarray]:
-    """One raw Siamese example in the layout `augment_example` expects."""
+    """One raw Siamese example in the layout `augment_example` expects.
+
+    The shake magnitude is drawn PER EXAMPLE from a wide range rather than
+    fixed: the reference trains on DeepStab's real footage whose handheld
+    shake spans calm to violent (README.md:35-37), and a model trained on a
+    single synthetic magnitude learns a constant-size correction — it
+    overcorrects already-steady clips (measured: the round-4 16-clip gate
+    lost stability vs the INPUT on low-jitter held-out clips when every
+    training example used jitter=4.0).
+    """
     rng = np.random.RandomState(seed)
+    jitter = float(rng.uniform(1.0, 6.0))
     span = max(cfg.indices) + 2
     stable_clip, st_off = make_video(span + 1, cfg.height, cfg.width,
                                      seed=seed, return_offsets=True)
     unstable_clip, un_off = make_video(span + 1, cfg.height, cfg.width,
-                                       seed=seed, jitter=4.0,
+                                       seed=seed, jitter=jitter,
                                        return_offsets=True)
     pos = span  # last frame index
 

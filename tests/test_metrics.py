@@ -48,6 +48,80 @@ def test_fit_homographies_exact():
     np.testing.assert_allclose(got / got[2, 2], Hm, atol=1e-3)
 
 
+def test_fit_homographies_weighted_ignores_masked_points():
+    """Zero-weighted (out-of-rect) correspondences must not bias the fit."""
+    rng = np.random.RandomState(2)
+    src = rng.rand(40, 2).astype(np.float32) * 100
+    Hm = np.array([[1.02, 0.01, 3.0], [-0.02, 0.98, -2.0], [1e-4, -1e-4, 1.0]],
+                  np.float32)
+    pts = np.concatenate([src, np.ones((40, 1), np.float32)], axis=-1) @ Hm.T
+    dst = (pts[:, :2] / pts[:, 2:]).copy()
+    dst[:10] = 0.0                        # corrupted points (static border)
+    w = np.ones((1, 40), np.float32)
+    w[0, :10] = 0.0
+    got = np.asarray(fit_homographies(jnp.asarray(src), jnp.asarray(dst[None]),
+                                      jnp.asarray(w)))[0]
+    np.testing.assert_allclose(got / got[2, 2], Hm, atol=1e-3)
+    # Falls back to ALL points when the active count is degenerate (<16).
+    w_tiny = np.zeros((1, 40), np.float32)
+    w_tiny[0, :4] = 1.0
+    got_fb = np.asarray(fit_homographies(
+        jnp.asarray(src), jnp.asarray(dst[None]), jnp.asarray(w_tiny)))[0]
+    assert np.all(np.isfinite(got_fb))
+
+
+@pytest.mark.slow
+def test_rect_restricted_stability_measures_delivered_content():
+    """Rect-restricted scoring matches the bare content's known score.
+
+    The same two-band-path content is scored bare (with an analytic anchor)
+    and embedded in a black border canvas (a stabilized frame's canvas).
+    Restricting the fit to the delivered rect must land near both the bare
+    measurement and the closed-form path score — i.e. the border region
+    contributes nothing and the restriction itself adds no bias.
+    (Measured while building this: the rect fit is slightly CLOSER to the
+    analytic anchor than the bare full-grid fit — border-margin flow
+    contamination is excluded.)
+    """
+    T = 33
+    rng = np.random.RandomState(7)
+    t = np.arange(T)
+    path = np.round(4.0 * np.sin(2 * np.pi * 2 * t / T)
+                    + 1.2 * np.sin(2 * np.pi * 11 * t / T)
+                    + rng.uniform(-0.8, 0.8, T)).astype(int)
+    expected = _analytic_stability(np.diff(path.astype(float)))
+    offsets = [(int(dx), 0) for dx in path]
+    bare = _clip_with_offsets(offsets)                      # (T, 96, 128)
+    pad_y, pad_x = 24, 32
+    framed = np.zeros((T, 96 + 2 * pad_y, 128 + 2 * pad_x), np.float32)
+    framed[:, pad_y:pad_y + 96, pad_x:pad_x + 128] = bare
+    rect = (pad_y, pad_x, pad_y + 95, pad_x + 127)
+
+    s_bare = float(stability_score(_interframe_h(jnp.asarray(bare))))
+    s_rect = float(stability_score(_interframe_h(jnp.asarray(framed), rect)))
+    assert abs(s_rect - expected) < 0.12, (s_rect, expected)
+    assert abs(s_rect - s_bare) < 0.10, (s_rect, s_bare)
+
+
+@pytest.mark.slow
+def test_stability_white_noise_shake_not_inflated():
+    """White-noise shake must score LOW, matching the analytic spectrum.
+
+    Without the phase-correlation pre-alignment, TV-L1's warping
+    linearization saturates near ~4 px/frame and large white-noise shake
+    measured ~0.85 where the closed form gives ~0.21 — inflating the
+    stability of exactly the clips a stabilizer is supposed to fix (shaky
+    inputs, garbage outputs).  Uses the gate's tiny 48x64 geometry."""
+    T = 33
+    rng = np.random.RandomState(7)
+    path = np.round(rng.uniform(-5.0, 5.0, T)).astype(int)
+    clip = _clip_with_offsets([(int(dx), 0) for dx in path], h=48, w=64)
+    expected = _analytic_stability(np.diff(path.astype(float)))
+    got = float(stability_score(_interframe_h(jnp.asarray(clip))))
+    assert abs(got - expected) < 0.12, (got, expected)
+    assert got < 0.45  # the old saturated chain measured ~0.5-0.85 here
+
+
 @pytest.mark.slow
 def test_stability_orders_smooth_above_shaky():
     T = 48
