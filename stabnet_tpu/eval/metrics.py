@@ -23,6 +23,7 @@ implementation's outputs) can be measured too.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Dict, Tuple
 
@@ -31,6 +32,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from stabnet_tpu.ops.flow import tvl1_flow
+
+
+def _metric_device():
+    """The device the metric chain is pinned to: the host CPU backend.
+
+    Scores are an offline audit, so they must be platform-deterministic —
+    and measured on this rig, the batched prealigned fit produced wrong
+    homographies on the tunneled TPU backend (tx doubled, phantom ty
+    components) while matching the analytic path anchors exactly on CPU.
+    Pinning costs ~11 s per 120-frame clip at model scale (warm), which the
+    quality gate absorbs; serving itself is unaffected.  Returns None when
+    no CPU backend exists (then the default device is used).
+    """
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _on_metric_device():
+    dev = _metric_device()
+    return jax.default_device(dev) if dev is not None \
+        else contextlib.nullcontext()
 
 
 def _grid_correspondences(u: jax.Array, step: int = 16,
@@ -362,12 +386,13 @@ def evaluate_clip(output_gray: jax.Array,
       `distortion` — all in (0, 1], higher is better.
     """
     out = {}
-    Hs_inter = _interframe_h(output_gray, rect)
-    out["stability"] = float(stability_score(Hs_inter))
-    if input_gray is not None:
-        Hs_cross = _crossvideo_h(input_gray, output_gray, rect)
-        out["cropping"] = float(cropping_score(Hs_cross))
-        out["distortion"] = float(distortion_score(Hs_cross))
+    with _on_metric_device():
+        Hs_inter = _interframe_h(output_gray, rect)
+        out["stability"] = float(stability_score(Hs_inter))
+        if input_gray is not None:
+            Hs_cross = _crossvideo_h(input_gray, output_gray, rect)
+            out["cropping"] = float(cropping_score(Hs_cross))
+            out["distortion"] = float(distortion_score(Hs_cross))
     return out
 
 
