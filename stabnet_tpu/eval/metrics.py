@@ -396,6 +396,22 @@ def evaluate_clip(output_gray: jax.Array,
     return out
 
 
+# Scoring runs at a capped working resolution: the CPU-pinned TV-L1 chain
+# costs ~11 s per 120-frame clip at 48x64 and scales with pixel count, so
+# full v2_93 288x512 frames would take ~20 min per clip.  The spectral
+# stability ratio and the anisotropy/scale scores are resolution-normalized
+# (paths scale linearly, ratios cancel), so a fixed working area is the
+# standard way to make clips comparable.  57600 px = 180x320.
+_EVAL_MAX_AREA = 180 * 320
+
+
+def _eval_downscale(h: int, w: int) -> int:
+    ds = 1
+    while (h // ds) * (w // ds) > _EVAL_MAX_AREA:
+        ds *= 2
+    return ds
+
+
 def score_stabilized_clip(output_frames, input_gray, model_hw: Tuple[int, int],
                           crop_rect: Tuple[int, int, int, int] = None,
                           include_input_stability: bool = True,
@@ -403,7 +419,8 @@ def score_stabilized_clip(output_frames, input_gray, model_hw: Tuple[int, int],
     """The full per-clip quality record the CLI and the quality gate share.
 
     One call turns any stabilize run into quality evidence: the stabilized
-    output is rescored at model scale against the model-scale input stream
+    output is rescored at the evaluation scale (model scale, downscaled to
+    at most `_EVAL_MAX_AREA` pixels) against the same-scale input stream
     (exactly what the quality gate measures), plus the input's own stability
     as the improvement anchor and the retained crop area when the exact
     black-border rect is known (the reference's _cut.avi crop,
@@ -420,14 +437,26 @@ def score_stabilized_clip(output_frames, input_gray, model_hw: Tuple[int, int],
       dict with stability / cropping / distortion / stability_input and,
       when crop_rect is given, crop_area — all in (0, 1], higher is better.
     """
+    import cv2
+
     from stabnet_tpu.stream.video_io import to_gray_train
 
     h, w = model_hw
-    out_gray = np.stack([to_gray_train(np.asarray(f), h, w)
+    ds = _eval_downscale(h, w)
+    eh, ew = h // ds, w // ds
+    out_gray = np.stack([to_gray_train(np.asarray(f), eh, ew)
                          for f in output_frames])
     input_gray = np.asarray(input_gray)
+    if ds > 1:
+        input_gray = np.stack([
+            cv2.resize(f, (ew, eh), interpolation=cv2.INTER_AREA)
+            for f in input_gray])
     n = min(len(out_gray), len(input_gray))
-    scores = evaluate_clip(out_gray[:n], input_gray[:n], rect=crop_rect)
+    rect = None
+    if crop_rect is not None:
+        top, left, bot, right = crop_rect
+        rect = (top // ds, left // ds, bot // ds, right // ds)
+    scores = evaluate_clip(out_gray[:n], input_gray[:n], rect=rect)
     if include_input_stability:  # skippable: it costs a full flow pass
         scores["stability_input"] = float(
             evaluate_clip(input_gray[:n])["stability"])

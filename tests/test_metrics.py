@@ -48,6 +48,18 @@ def test_fit_homographies_exact():
     np.testing.assert_allclose(got / got[2, 2], Hm, atol=1e-3)
 
 
+def test_eval_downscale_caps_working_area():
+    from stabnet_tpu.eval.metrics import _EVAL_MAX_AREA, _eval_downscale
+
+    assert _eval_downscale(48, 64) == 1        # tiny geometry untouched
+    assert _eval_downscale(180, 320) == 1      # exactly at the cap
+    assert _eval_downscale(288, 512) == 2      # v2_93 -> 144x256
+    assert _eval_downscale(720, 1280) == 4     # 720p -> 180x320
+    for h, w in ((288, 512), (720, 1280), (1080, 1920)):
+        ds = _eval_downscale(h, w)
+        assert (h // ds) * (w // ds) <= _EVAL_MAX_AREA
+
+
 def test_fit_homographies_weighted_ignores_masked_points():
     """Zero-weighted (out-of-rect) correspondences must not bias the fit."""
     rng = np.random.RandomState(2)
