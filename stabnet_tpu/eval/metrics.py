@@ -83,6 +83,55 @@ def _grid_correspondences(u: jax.Array, step: int = 16,
     return src, dst
 
 
+def _rect_grid_correspondences(u: jax.Array, rect: jax.Array
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Sample flow on a fixed-count grid spread INSIDE the delivered rect.
+
+    Masking a full-frame grid starves when the crop is small (a handful of
+    in-rect points, and the degenerate-count fallback silently un-restricts
+    the fit to the black canvas — measured on the 16-clip gate: a wildly
+    warping random-weights control scored 0.83-0.89 stability that way).
+    A linspace grid has a STATIC point count at DYNAMIC positions, so the
+    rect stays a traced argument (no recompile per clip) and the fit always
+    has a full, well-spread point set; the dense flow is read at the
+    fractional positions bilinearly.
+
+    Args:
+      u: (T, H, W, 2) pixel-displacement flow fields.
+      rect: (4,) [top, left, bottom, right] inclusive bounds.
+
+    Returns:
+      (src (N, 2), dst (T, N, 2)) pixel coordinates (src inside the rect).
+    """
+    T, H, W = u.shape[:3]
+    shrink = _rect_shrink(H, W)
+    ny = max(5, min(12, H // 16))
+    nx = max(6, min(16, W // 16))
+    top = jnp.minimum(rect[0] + shrink, rect[2] - 1.0)
+    bot = jnp.maximum(rect[2] - shrink, top)
+    left = jnp.minimum(rect[1] + shrink, rect[3] - 1.0)
+    right = jnp.maximum(rect[3] - shrink, left)
+    ys = top + (bot - top) * jnp.linspace(0.0, 1.0, ny)
+    xs = left + (right - left) * jnp.linspace(0.0, 1.0, nx)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    src = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (N, 2) f32
+
+    # Bilinear read of the dense flow at the fractional grid positions.
+    x, y = src[:, 0], src[:, 1]
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[None, :, None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[None, :, None]
+    u00 = u[:, y0, x0]
+    u01 = u[:, y0, x0 + 1]
+    u10 = u[:, y0 + 1, x0]
+    u11 = u[:, y0 + 1, x0 + 1]
+    flow_at = ((1 - fy) * ((1 - fx) * u00 + fx * u01)
+               + fy * ((1 - fx) * u10 + fx * u11))          # (T, N, 2)
+    dst = src[None] + flow_at
+    return src, dst
+
+
 def fit_homographies(src: jax.Array, dst: jax.Array,
                      weights: jax.Array = None) -> jax.Array:
     """Least-squares homography fit per frame (DLT, h22 = 1).
@@ -295,11 +344,13 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
 
     With `rect` (a (4,) [top, left, bottom, right] array), the fit is
     restricted to correspondences inside the rect — the delivered crop
-    region.  `mask_src` additionally requires the SOURCE point inside the
-    rect (used frame-to-frame within the output video, where both frames
-    share the crop; the input->output fit masks only the destination, since
-    the input is full-frame).  The rect is a traced ARGUMENT, not a static,
-    so per-clip rects do not recompile the heavy TV-L1 program.
+    region.  With `mask_src` (frame-to-frame within the output video, where
+    both frames share the crop), the grid itself is placed inside the rect
+    (`_rect_grid_correspondences` — a masked full-frame grid starves on
+    small crops); the input->output fit keeps the full-frame grid and masks
+    only the destination, since the input is full-frame.  The rect is a
+    traced ARGUMENT, not a static, so per-clip rects do not recompile the
+    heavy TV-L1 program.
 
     With `prealign` (the inter-frame stability path), the global integer
     shift is removed by phase correlation first and added back after the
@@ -314,7 +365,10 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
         sx, sy = _global_shift(a, b)
         b = _roll2(b, sx, sy)
     u = tvl1_flow(a, b, **dict(flow_kwargs))
-    src, dst = _grid_correspondences(u)
+    if rect is not None and mask_src:
+        src, dst = _rect_grid_correspondences(u, rect)
+    else:
+        src, dst = _grid_correspondences(u)
     if prealign:
         dst = dst + jnp.stack([sx, sy], axis=-1)[:, None, :].astype(dst.dtype)
         x, y = src[:, 0], src[:, 1]
@@ -323,11 +377,9 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
                  & (y[None, :] + sy[:, None] >= 0)
                  & (y[None, :] + sy[:, None] <= H - 1))
         w = valid.astype(jnp.float32)
-    if rect is not None:
+    if rect is not None and not mask_src:
         shrink = _rect_shrink(H, W)
         wr = _rect_mask(dst, rect, shrink)                  # (C, N)
-        if mask_src:
-            wr = wr * _rect_mask(src, rect, shrink)[None]
         w = wr if w is None else w * wr
     return fit_homographies(src, dst, w)
 
