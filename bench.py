@@ -164,8 +164,10 @@ def main():
     # The axon TPU plugin force-installs jax_platforms="axon,cpu", overriding
     # the JAX_PLATFORMS env var; honor an explicit env request (the CI test
     # runs this script on the virtual CPU mesh) via jax.config, which wins.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # keep_cpu preserves a host backend for determinism-pinned paths.
+    from stabnet_tpu.utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env(keep_cpu=True)
 
     from stabnet_tpu.utils import enable_persistent_compilation_cache
 

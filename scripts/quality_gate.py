@@ -44,15 +44,14 @@ import numpy as np
 
 
 def _honor_jax_platforms_env() -> None:
-    """Re-apply an explicit JAX_PLATFORMS choice (the axon TPU plugin
-    force-installs jax_platforms="axon,cpu", silently overriding the env
-    var — same guard as cli/main.py and bench.py)."""
-    env = os.environ.get("JAX_PLATFORMS")
-    if env:
-        import jax
+    """Re-apply an explicit JAX_PLATFORMS choice, keeping a CPU backend
+    registered (the metric chain pins its fits to the CPU device for
+    determinism; an accelerator-only JAX_PLATFORMS would silently unpin
+    it — the shared helper appends `,cpu` without changing the default
+    backend)."""
+    from stabnet_tpu.utils import honor_jax_platforms_env
 
-        if jax.config.jax_platforms != env:
-            jax.config.update("jax_platforms", env)
+    honor_jax_platforms_env(keep_cpu=True)
 
 
 def build_config(args):
@@ -177,6 +176,8 @@ def run_gate(args) -> dict:
     report = {
         "steps": args.steps,
         "examples": args.examples,
+        "batch_size": args.batch_size,
+        "lr": args.lr,
         "clips": args.clips,
         "frames": args.frames,
         "jitters": jitters,

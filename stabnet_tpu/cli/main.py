@@ -27,14 +27,14 @@ def _honor_jax_platforms_env() -> None:
     overriding the documented JAX_PLATFORMS env-var semantics; a user who
     set JAX_PLATFORMS=cpu then silently runs (or blocks) on the plugin's
     backend.  Restoring the env value before any backend initializes keeps
-    the CLI's platform selection portable.
+    the CLI's platform selection portable.  A CPU backend is kept
+    registered (without changing the default backend) so determinism-
+    pinned paths — `stabilize --metrics` scoring — keep working under an
+    accelerator-only JAX_PLATFORMS (utils/platforms.py).
     """
-    env = os.environ.get("JAX_PLATFORMS")
-    if env:
-        import jax
+    from stabnet_tpu.utils import honor_jax_platforms_env
 
-        if jax.config.jax_platforms != env:
-            jax.config.update("jax_platforms", env)
+    honor_jax_platforms_env(keep_cpu=True)
 
 
 def _load_variables(model, cfg, tf_checkpoint=None, model_dir=None,

@@ -43,11 +43,24 @@ def _metric_device():
     components) while matching the analytic path anchors exactly on CPU.
     Pinning costs ~11 s per 120-frame clip at model scale (warm), which the
     quality gate absorbs; serving itself is unaffected.  Returns None when
-    no CPU backend exists (then the default device is used).
+    no CPU backend exists (then the default device is used) — with a LOUD
+    warning, because scores measured on the tunneled TPU backend are known
+    wrong on this rig; `utils.honor_jax_platforms_env(keep_cpu=True)` keeps
+    the CPU backend registered even under an accelerator-only JAX_PLATFORMS.
     """
     try:
         return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
+        import os
+
+        from stabnet_tpu.utils import get_logger
+
+        get_logger().warning(
+            "no CPU backend available (JAX_PLATFORMS=%s): quality scores "
+            "will run on the default %s backend, which is NOT "
+            "platform-deterministic on this rig (eval/metrics.py "
+            "_metric_device)", os.environ.get("JAX_PLATFORMS"),
+            jax.default_backend())
         return None
 
 

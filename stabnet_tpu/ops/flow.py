@@ -45,7 +45,13 @@ def _warp_fields(fields: jax.Array, x_pix: jax.Array, y_pix: jax.Array
     y = jnp.clip(y_pix, 0.0, H - 1.0 - 1e-3)
     x_ndc = 2.0 * x / W - 1.0
     y_ndc = 2.0 * y / H - 1.0
-    if jax.default_backend() in ("tpu", "axon"):
+    # Dispatch on the PLACEMENT platform, not the process default backend:
+    # the quality-metric chain runs this under jax.default_device(cpu) in
+    # TPU processes (eval/metrics.py), where the Pallas TPU kernel would
+    # fail to lower ("Only interpret mode is supported on CPU backend").
+    from stabnet_tpu.utils.platforms import placement_platform
+
+    if placement_platform() in ("tpu", "axon"):
         from stabnet_tpu.ops.pallas_warp import bilinear_sample_pallas
 
         return bilinear_sample_pallas(fields, x_ndc, y_ndc, exact=True,

@@ -79,7 +79,12 @@ def _default_interpret() -> bool:
     override = _INTERPRET_DEFAULT.get()
     if override is not None:
         return override
-    return jax.default_backend() not in ("tpu", "axon")
+    # Placement-aware, not process-default-aware: under a
+    # jax.default_device(cpu) pin in a TPU process the kernel lowers for
+    # the CPU device, where only interpret mode exists.
+    from stabnet_tpu.utils.platforms import placement_platform
+
+    return placement_platform() not in ("tpu", "axon")
 
 
 def _ceil_mult(x: int, m: int) -> int:
