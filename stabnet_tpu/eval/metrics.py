@@ -96,53 +96,30 @@ def _grid_correspondences(u: jax.Array, step: int = 16,
     return src, dst
 
 
-def _rect_grid_correspondences(u: jax.Array, rect: jax.Array
-                               ) -> Tuple[jax.Array, jax.Array]:
-    """Sample flow on a fixed-count grid spread INSIDE the delivered rect.
+def _rect_fill(frames: np.ndarray, rect) -> np.ndarray:
+    """Replace everything outside the delivered rect of (T, H, W) frames
+    with the nearest inside-rect pixel (edge replication).
 
-    Masking a full-frame grid starves when the crop is small (a handful of
-    in-rect points, and the degenerate-count fallback silently un-restricts
-    the fit to the black canvas — measured on the 16-clip gate: a wildly
-    warping random-weights control scored 0.83-0.89 stability that way).
-    A linspace grid has a STATIC point count at DYNAMIC positions, so the
-    rect stays a traced argument (no recompile per clip) and the fit always
-    has a full, well-spread point set; the dense flow is read at the
-    fractional positions bilinearly.
-
-    Args:
-      u: (T, H, W, 2) pixel-displacement flow fields.
-      rect: (4,) [top, left, bottom, right] inclusive bounds.
-
-    Returns:
-      (src (N, 2), dst (T, N, 2)) pixel coordinates (src inside the rect).
+    The stability score is defined on the video a stabilizer DELIVERS; the
+    frames carry a black canvas outside the delivered crop.  Measured on
+    this rig's 16-clip gate, that STATIC border corrupts the motion
+    measurement however the fit points are masked: it anchors the
+    phase-correlation pre-alignment to zero shift (so TV-L1 saturates on
+    the real shake and the path comes out falsely smooth — a random-warp
+    control inflated from 0.59 input to 0.84), and TV-L1's regularization
+    bleeds the border's zero flow into the content.  Cropping instead of
+    filling is also wrong: small frames bias the score upward (the SAME
+    input clip measured 0.59 full-frame but 0.72 as a 32x48 crop — less
+    content makes both estimators less able to see the shake).  Edge
+    replication keeps full-frame shapes (one compiled TV-L1 program) while
+    making every pixel move WITH the delivered content, so neither
+    estimator has a static structure to latch onto; the homography fit is
+    additionally restricted to points inside the rect.
     """
-    T, H, W = u.shape[:3]
-    shrink = _rect_shrink(H, W)
-    ny = max(5, min(12, H // 16))
-    nx = max(6, min(16, W // 16))
-    top = jnp.minimum(rect[0] + shrink, rect[2] - 1.0)
-    bot = jnp.maximum(rect[2] - shrink, top)
-    left = jnp.minimum(rect[1] + shrink, rect[3] - 1.0)
-    right = jnp.maximum(rect[3] - shrink, left)
-    ys = top + (bot - top) * jnp.linspace(0.0, 1.0, ny)
-    xs = left + (right - left) * jnp.linspace(0.0, 1.0, nx)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    src = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (N, 2) f32
-
-    # Bilinear read of the dense flow at the fractional grid positions.
-    x, y = src[:, 0], src[:, 1]
-    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
-    fx = jnp.clip(x - x0, 0.0, 1.0)[None, :, None]
-    fy = jnp.clip(y - y0, 0.0, 1.0)[None, :, None]
-    u00 = u[:, y0, x0]
-    u01 = u[:, y0, x0 + 1]
-    u10 = u[:, y0 + 1, x0]
-    u11 = u[:, y0 + 1, x0 + 1]
-    flow_at = ((1 - fy) * ((1 - fx) * u00 + fx * u01)
-               + fy * ((1 - fx) * u10 + fx * u11))          # (T, N, 2)
-    dst = src[None] + flow_at
-    return src, dst
+    top, left, bot, right = [int(v) for v in rect]
+    iy = np.clip(np.arange(frames.shape[1]), top, bot)
+    ix = np.clip(np.arange(frames.shape[2]), left, right)
+    return np.ascontiguousarray(frames[:, iy][:, :, ix])
 
 
 def fit_homographies(src: jax.Array, dst: jax.Array,
@@ -349,21 +326,21 @@ _EVAL_CHUNK = 32
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("flow_kwargs", "mask_src", "prealign"))
+                   static_argnames=("flow_kwargs", "prealign"))
 def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
-                   mask_src: bool = False, prealign: bool = False,
+                   prealign: bool = False,
                    flow_kwargs=_FLOW_KW) -> jax.Array:
     """(C, H, W) frame pairs -> (C, 3, 3) homographies mapping a -> b.
 
     With `rect` (a (4,) [top, left, bottom, right] array), the fit is
-    restricted to correspondences inside the rect — the delivered crop
-    region.  With `mask_src` (frame-to-frame within the output video, where
-    both frames share the crop), the grid itself is placed inside the rect
-    (`_rect_grid_correspondences` — a masked full-frame grid starves on
-    small crops); the input->output fit keeps the full-frame grid and masks
-    only the destination, since the input is full-frame.  The rect is a
-    traced ARGUMENT, not a static, so per-clip rects do not recompile the
-    heavy TV-L1 program.
+    restricted to correspondences landing inside the rect — the delivered
+    crop region (used by the cross-video input->output fit; the input is
+    full-frame, so only the destination is masked).  The rect is a traced
+    ARGUMENT, not a static, so per-clip rects do not recompile the heavy
+    TV-L1 program.  The inter-frame stability path does NOT use rect
+    masking: it is fed the cropped video itself (`_quantized_crop`) —
+    measured on this rig, any fit computed on the black-canvas frames is
+    contaminated by the static border regardless of point masking.
 
     With `prealign` (the inter-frame stability path), the global integer
     shift is removed by phase correlation first and added back after the
@@ -378,10 +355,7 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
         sx, sy = _global_shift(a, b)
         b = _roll2(b, sx, sy)
     u = tvl1_flow(a, b, **dict(flow_kwargs))
-    if rect is not None and mask_src:
-        src, dst = _rect_grid_correspondences(u, rect)
-    else:
-        src, dst = _grid_correspondences(u)
+    src, dst = _grid_correspondences(u)
     if prealign:
         dst = dst + jnp.stack([sx, sy], axis=-1)[:, None, :].astype(dst.dtype)
         x, y = src[:, 0], src[:, 1]
@@ -390,7 +364,7 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
                  & (y[None, :] + sy[:, None] >= 0)
                  & (y[None, :] + sy[:, None] <= H - 1))
         w = valid.astype(jnp.float32)
-    if rect is not None and not mask_src:
+    if rect is not None:
         shrink = _rect_shrink(H, W)
         wr = _rect_mask(dst, rect, shrink)                  # (C, N)
         w = wr if w is None else w * wr
@@ -398,7 +372,7 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
 
 
 def _pairs_h(a: jax.Array, b: jax.Array, rect=None,
-             mask_src: bool = False, prealign: bool = False) -> jax.Array:
+             prealign: bool = False) -> jax.Array:
     a = np.asarray(a)
     b = np.asarray(b)
     if rect is not None:
@@ -411,15 +385,22 @@ def _pairs_h(a: jax.Array, b: jax.Array, rect=None,
             reps = (_EVAL_CHUNK - k,) + (1,) * (ca.ndim - 1)
             ca = np.concatenate([ca, np.tile(ca[-1:], reps)])
             cb = np.concatenate([cb, np.tile(cb[-1:], reps)])
-        out.append(np.asarray(_pairs_h_chunk(ca, cb, rect, mask_src=mask_src,
+        out.append(np.asarray(_pairs_h_chunk(ca, cb, rect,
                                              prealign=prealign))[:k])
     return jnp.asarray(np.concatenate(out))
 
 
 def _interframe_h(frames: jax.Array, rect=None) -> jax.Array:
-    """(T, H, W) gray frames -> (T-1, 3, 3) inter-frame homographies."""
-    return _pairs_h(frames[:-1], frames[1:], rect, mask_src=True,
-                    prealign=True)
+    """(T, H, W) gray frames -> (T-1, 3, 3) inter-frame homographies.
+
+    With `rect`, the black canvas outside the delivered region is first
+    replaced by edge replication (`_rect_fill`) so the static border
+    cannot corrupt the motion estimators, and the fit is restricted to
+    points inside the rect.
+    """
+    if rect is not None:
+        frames = _rect_fill(np.asarray(frames), rect)
+    return _pairs_h(frames[:-1], frames[1:], rect, prealign=True)
 
 
 def _crossvideo_h(a: jax.Array, b: jax.Array, rect=None) -> jax.Array:

@@ -281,3 +281,53 @@ def test_distortion_matches_known_anisotropy():
     # un-cropped direction, so the score clips at 1.0 — the convention the
     # zoom test exercises from the other side (scale > 1 -> 1/scale).
     assert float(cropping_score(Hs)) == 1.0
+
+
+@pytest.mark.slow
+def test_random_warp_control_not_inflated_by_crop_canvas():
+    """A do-nothing 'stabilizer' (small random per-frame warps + a static
+    crop with black canvas outside) must NOT measure more stable than the
+    shaky input it passed through.
+
+    Regression anchor: scoring the full canvas let the STATIC border anchor
+    the phase-correlation pre-alignment and bleed zero flow into the
+    content — a random-warp control measured 0.84 vs 0.59 input, so any
+    warp+crop beat the input and trained-vs-random margins were noise.
+    `_rect_fill` (edge-replicating the canvas) restores honesty: the
+    control must score BELOW the input (its path has strictly more noise).
+    """
+    from stabnet_tpu.data.synthetic import make_video
+    from stabnet_tpu.eval.metrics import evaluate_clip
+    from stabnet_tpu.stream.video_io import to_gray_train
+
+    H, W, T = 48, 64, 60
+    frames = np.stack(make_video(T, H, W, seed=11, jitter=3.5))
+    gray = np.stack([to_gray_train(f, H, W) for f in frames])
+    s_input = evaluate_clip(gray)["stability"]
+
+    rng = np.random.RandomState(0)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    out = []
+    for t in range(T):
+        dx, dy = rng.uniform(-1.5, 1.5, 2)
+        sx = np.clip(xs + dx, 0, W - 1)
+        sy = np.clip(ys + dy, 0, H - 1)
+        x0 = np.floor(sx).astype(int)
+        y0 = np.floor(sy).astype(int)
+        x1 = np.minimum(x0 + 1, W - 1)
+        y1 = np.minimum(y0 + 1, H - 1)
+        fx, fy = sx - x0, sy - y0
+        g = gray[t]
+        out.append(g[y0, x0] * (1 - fx) * (1 - fy)
+                   + g[y0, x1] * fx * (1 - fy)
+                   + g[y1, x0] * (1 - fx) * fy
+                   + g[y1, x1] * fx * fy)
+    out = np.stack(out)
+    top, left, bot, right = 6, 8, H - 7, W - 9
+    canvas = np.full_like(out, -0.5)
+    canvas[:, top:bot + 1, left:right + 1] = \
+        out[:, top:bot + 1, left:right + 1]
+
+    s_control = evaluate_clip(canvas,
+                              rect=(top, left, bot, right))["stability"]
+    assert s_control < s_input, (s_control, s_input)
