@@ -31,6 +31,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import threading
 import time
 
@@ -93,6 +94,44 @@ def _arm_deadline_guard(deadline: float, state: dict):
     threading.Thread(target=watch, daemon=True).start()
 
 
+def _persist_path(deadline: float):
+    """Per-run leg-result carryover file, shared across retry attempts.
+
+    Keyed by the ABSOLUTE deadline timestamp (the one value every attempt of
+    one bench run shares via STABNET_BENCH_DEADLINE_TS), so a retried attempt
+    resumes from the completed legs instead of re-paying them — the round-4
+    weakness where a retry re-measured everything and the budget's tail never
+    reached the 1080p gate leg.  No deadline (interactive/direct rigs) means
+    no carryover is needed.
+    """
+    if deadline == float("inf"):
+        return None
+    return os.path.join(tempfile.gettempdir(),
+                        f"stabnet_bench_legs_{deadline:.0f}.json")
+
+
+def _load_legs(path) -> dict:
+    if path and os.path.exists(path):
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+            if isinstance(saved.get("legs"), list):
+                return saved
+        except (OSError, ValueError):
+            pass  # a torn write from a force-exited attempt: start clean
+    return {"legs": [], "stats": {}, "headline": {}}
+
+
+def _save_legs(path, legs, stats, headline) -> None:
+    if not path:
+        return
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"legs": sorted(legs), "stats": stats,
+                   "headline": headline}, f)
+    os.replace(tmp, path)  # atomic: a force-exit mid-save can't tear the file
+
+
 def _arm_init_watchdog(seconds: float = 150.0):
     """Abort (honestly, loudly) if backend init wedges instead of hanging forever.
 
@@ -129,7 +168,18 @@ def main():
     def remaining() -> float:
         return deadline - time.time()
 
+    # Test hook: cap how many legs this attempt may MEASURE (restored legs
+    # don't count) — lets CI pin the leg priority order without fragile
+    # wall-clock staging.
+    max_legs = int(os.environ.get("STABNET_BENCH_MAX_LEGS", "99"))
+    measured_legs = [0]
+
     def fits(leg: str, est_s: float) -> bool:
+        if measured_legs[0] >= max_legs:
+            print(f"bench: skipping leg '{leg}' — "
+                  f"STABNET_BENCH_MAX_LEGS={max_legs} reached",
+                  file=sys.stderr, flush=True)
+            return False
         if remaining() >= est_s:
             return True
         print(f"bench: skipping leg '{leg}' — needs ~{est_s:.0f}s, "
@@ -303,6 +353,21 @@ def main():
     }
     stats = {"device": str(jax.devices()[0]), "n_devices": n_dev}
 
+    # Carryover from earlier attempts of the SAME deadline-keyed run: a
+    # retried attempt keeps every already-measured leg (its values and its
+    # place in the headline) and only measures what's left.
+    persist_path = _persist_path(deadline)
+    saved = _load_legs(persist_path)
+    done = set(saved["legs"])
+    if done:
+        for k, v in saved["stats"].items():
+            stats.setdefault(k, v)
+        for k, v in saved["headline"].items():
+            if headline.get(k) is None and v is not None:
+                headline[k] = v
+        print(f"bench: restored completed legs from a previous attempt: "
+              f"{sorted(done)}", file=sys.stderr, flush=True)
+
     def emit():
         # Headline on stdout (the driver parses the last/most complete one),
         # full stats on stderr.  Both flushed so a later forced exit — guard
@@ -311,9 +376,21 @@ def main():
         print(json.dumps(headline), flush=True)
         state["emitted"] = True
 
+    def leg_done(name: str) -> None:
+        done.add(name)
+        measured_legs[0] += 1
+        _save_legs(persist_path, done, stats, headline)
+
+    if done and headline["value"] is not None:
+        emit()  # the restored headline is on stdout before any new leg runs
+
+    # Leg order is GATE-first (round-4 verdict: a slow init once ate the
+    # budget's tail and the 1080p ≥500-fps gate leg never ran while two
+    # secondary slope legs did): 720p headline batch → 1080p gate batch →
+    # single-stream + slope → online latency → pipelined serving.
+
     # ---- Leg 1 (headline): 720p batch throughput ---------------------------
-    fps_batch = None
-    if fits("batch", 120):
+    if "batch" not in done and fits("batch", 120):
         fps_batch_total = measure(grayS, colorS, "batch", run=run_batch,
                                   sharding=batch_sharding)
         fps_batch = fps_batch_total / n_dev
@@ -322,39 +399,37 @@ def main():
             stats[f"fps_{out_h}p_batch_total"] = fps_batch_total
         headline["value"] = round(fps_batch, 2)
         headline["vs_baseline"] = round(fps_batch / _BASELINE_FPS, 4)
+        # FLOPs / MFU attribution (cheap: traced on host from the already-
+        # warm jitted callable's unoptimized HLO; no extra device work).
+        # Makes future fps regressions attributable to utilization vs
+        # clock/overhead shifts.  bf16 peak for the denominator; v5e = 197
+        # TFLOP/s (override STABNET_BENCH_PEAK_TFLOPS on other generations).
+        try:
+            cost = engine._clip.lower(
+                variables,
+                jax.ShapeDtypeStruct(grayS[:S].shape, grayS.dtype),
+                jax.ShapeDtypeStruct(colorS[:S].shape, colorS.dtype),
+            ).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_per_frame = float(cost["flops"]) / (S * (T - 1))
+            peak = float(os.environ.get("STABNET_BENCH_PEAK_TFLOPS", "197"))
+            achieved = fps_batch * flops_per_frame / 1e12
+            stats["flops_per_frame_g"] = round(flops_per_frame / 1e9, 4)
+            stats["achieved_tflops_per_s_per_chip"] = round(achieved, 4)
+            stats["mfu_vs_bf16_peak"] = round(achieved / peak, 6)
+        except Exception as e:  # cost analysis is advisory, never fatal
+            print(f"bench: cost_analysis unavailable ({e!r})",
+                  file=sys.stderr, flush=True)
         emit()
+        leg_done("batch")
+    fps_batch = stats.get(f"fps_{out_h}p_batch{S}_per_chip")
 
-    # ---- Leg 2: single-stream throughput (also feeds the slope leg) --------
-    fps_s1 = None
-    if fits("single_stream", 70):
-        fps_s1 = measure(gray1, color1, "s1")
-        stats[f"fps_{out_h}p_single_stream"] = fps_s1
-        best = max(v for v in (fps_s1, fps_batch) if v is not None)
-        headline["value"] = round(best, 2)
-        headline["vs_baseline"] = round(best / _BASELINE_FPS, 4)
-        emit()
-
-    # ---- Leg 3: device-side per-frame latency by the SLOPE method ----------
-    # Time the single-stream whole-clip scan at two clip lengths and divide
-    # the delta by the extra frames.  Fixed costs (dispatch, the host<->TPU
-    # tunnel RTT on this rig, fence readback) cancel; what remains is the
-    # marginal device time per online frame — the number that applies on
-    # directly-attached hardware (<10 ms p50 north star, BASELINE.md).
-    if fps_s1 is not None and fits("latency_slope", 50):
-        T_short = max(2, min(21, T // 3 + 2, T - 1))
-        fps_short = measure(gray1[:, :T_short], color1[:, :T_short], "s1short")
-        t_long = (T - 1) * repeats / fps_s1
-        t_short = (T_short - 1) * repeats / fps_short
-        device_ms = (t_long - t_short) / ((T - T_short) * repeats) * 1e3
-        stats["online_frame_latency_device_ms_slope"] = round(device_ms, 3)
-        headline["online_latency_device_ms"] = round(device_ms, 3)
-        emit()
-
-    # ---- Leg 4: second output geometry (default 1080p) ---------------------
+    # ---- Leg 2 (second gate): second output geometry (default 1080p) -------
     # Same model, second engine at the other full-res warp size, batch mode,
     # per chip.  Empty STABNET_BENCH_OUT2 disables it — CI's tiny CPU run does.
     out2 = os.environ.get("STABNET_BENCH_OUT2", "1080,1920")
-    if out2 and fits("out2", 110):
+    if out2 and "out2" not in done and fits("out2", 110):
         out2_h, out2_w = (int(v) for v in out2.split(","))
         # S=6 measured best at 1080p: 527.9 fps/chip vs 501.2 at S=4 and a
         # wash at S=8 (warp scales linearly; S=6 amortizes the per-step model
@@ -376,13 +451,43 @@ def main():
         stats[f"fps_{out2_h}p_batch{S2}_per_chip"] = fps2
         headline[f"fps_{out2_h}p_per_chip"] = round(fps2, 2)
         emit()
+        leg_done("out2")
+
+    # ---- Leg 3: single-stream throughput (also feeds the slope leg) --------
+    if "single_stream" not in done and fits("single_stream", 70):
+        fps_s1 = measure(gray1, color1, "s1")
+        stats[f"fps_{out_h}p_single_stream"] = fps_s1
+        best = max(v for v in (fps_s1, fps_batch) if v is not None)
+        headline["value"] = round(best, 2)
+        headline["vs_baseline"] = round(best / _BASELINE_FPS, 4)
+        emit()
+        leg_done("single_stream")
+    fps_s1 = stats.get(f"fps_{out_h}p_single_stream")
+
+    # ---- Leg 4: device-side per-frame latency by the SLOPE method ----------
+    # Time the single-stream whole-clip scan at two clip lengths and divide
+    # the delta by the extra frames.  Fixed costs (dispatch, the host<->TPU
+    # tunnel RTT on this rig, fence readback) cancel; what remains is the
+    # marginal device time per online frame — the number that applies on
+    # directly-attached hardware (<10 ms p50 north star, BASELINE.md).
+    if (fps_s1 is not None and "latency_slope" not in done
+            and fits("latency_slope", 50)):
+        T_short = max(2, min(21, T // 3 + 2, T - 1))
+        fps_short = measure(gray1[:, :T_short], color1[:, :T_short], "s1short")
+        t_long = (T - 1) * repeats / fps_s1
+        t_short = (T_short - 1) * repeats / fps_short
+        device_ms = (t_long - t_short) / ((T - T_short) * repeats) * 1e3
+        stats["online_frame_latency_device_ms_slope"] = round(device_ms, 3)
+        headline["online_latency_device_ms"] = round(device_ms, 3)
+        emit()
+        leg_done("latency_slope")
 
     # ---- Leg 5: frame-at-a-time online latency + decomposition -------------
     # Includes the host<->device link; on the CI rig that link is a tunnel
     # with ~26 ms RTT, so this is an upper bound.  The decomposition splits
     # it into upload / dispatch / compute+readback so the tunnel's share is
     # visible (on directly-attached rigs the copies ride PCIe/DMA).
-    if fits("online_latency", 60):
+    if "online_latency" not in done and fits("online_latency", 60):
         state1 = engine.init(gray1[:, 0])
         lat = []
         for i in range(1, 9):
@@ -406,6 +511,43 @@ def main():
             disp_ms.append((t2 - t1) * 1e3)
             read_ms.append((t3 - t2) * 1e3)
 
+        # MEASURED per-step p50 with device-resident inputs (round-4 verdict:
+        # the <10 ms gate needs a measured p50, not slope + bandwidth math).
+        # Each step is fenced by a scalar readback; the separately measured
+        # fence floor — dispatch + scalar RTT of a trivial jitted op — is the
+        # link's share, so (fenced − floor) is a per-step device+dispatch
+        # latency that is a measurement, not an extrapolation.  On directly-
+        # attached rigs the floor is ~0.1 ms and raw ≈ device.
+        g_res = [jax.block_until_ready(jax.device_put(gray1[:, i]))
+                 for i in range(1, 9)]
+        c_res = [jax.block_until_ready(jax.device_put(color1[:, i]))
+                 for i in range(1, 9)]
+        noop = jax.jit(lambda v: v + 1.0)
+        z = jnp.zeros(())
+        float(noop(z))  # compile outside the timed floor
+        floor = []
+        for _ in range(12):
+            s = time.perf_counter()
+            float(noop(z))
+            floor.append(time.perf_counter() - s)
+        fenced = []
+        for i in range(8):
+            s = time.perf_counter()
+            state1, out = engine.step(state1, g_res[i], c_res[i])
+            _ = float(jnp.sum(out.black[:, ::97, ::119]))
+            fenced.append(time.perf_counter() - s)
+        fenced_ms = np.asarray(fenced[1:]) * 1e3
+        floor_ms = np.asarray(floor[2:]) * 1e3
+        floor_p50 = float(np.percentile(floor_ms, 50))
+        dev_p50 = max(float(np.percentile(fenced_ms, 50)) - floor_p50, 0.0)
+        dev_p90 = max(float(np.percentile(fenced_ms, 90))
+                      - float(np.percentile(floor_ms, 90)), 0.0)
+        stats["online_step_device_resident_fenced_p50_ms"] = round(
+            float(np.percentile(fenced_ms, 50)), 2)
+        stats["online_step_fence_floor_p50_ms"] = round(floor_p50, 2)
+        stats["online_latency_device_p50_ms"] = round(dev_p50, 2)
+        stats["online_latency_device_p90_ms"] = round(dev_p90, 2)
+
         stats["online_step_latency_wall_p50_ms"] = float(
             np.percentile(lat_ms, 50))
         stats["online_step_upload_p50_ms"] = round(
@@ -416,13 +558,15 @@ def main():
             float(np.percentile(read_ms, 50)), 2)
         headline["online_latency_wall_p50_ms"] = round(
             float(np.percentile(lat_ms, 50)), 1)
+        headline["online_latency_device_p50_ms"] = round(dev_p50, 2)
         emit()
+        leg_done("online_latency")
 
     # ---- Leg 6: pipelined single-stream serving -----------------------------
     # StreamDriver's production default: read frame t-1's output only after
     # dispatching step t, so JAX's async dispatch overlaps upload/compute/
     # readback across adjacent frames.
-    if fits("pipelined", 40):
+    if "pipelined" not in done and fits("pipelined", 40):
         state1 = engine.init(gray1[:, 0])
         pend = None
         t0 = time.perf_counter()
@@ -436,6 +580,7 @@ def main():
         stats["online_pipelined_wall_fps"] = round(fps_pipelined, 1)
         headline["online_pipelined_wall_fps"] = round(fps_pipelined, 1)
         emit()
+        leg_done("pipelined")
 
     if not state["emitted"]:
         print("bench: no leg fit the remaining budget", file=sys.stderr,

@@ -10,9 +10,12 @@ on-device capability so runs are comparable without manual inspection:
   * inter-frame / cross-video motion is measured with the framework's own
     TV-L1 flow (ops/flow.py) sampled on a coarse grid and least-squares
     fitted to a homography — no feature detector dependency,
-  * the spectral stability score, the anisotropy distortion score, and the
-    homography-scale cropping score follow the standard definitions
-    (documented per function, with the conventional choices spelled out),
+  * the anisotropy distortion score and the homography-scale cropping
+    score follow the standard definitions; the stability score is a
+    DELIBERATE VARIANT of the Bundled-Camera-Paths spectral score — a
+    velocity-spectrum ratio with a measurement-noise floor, NOT comparable
+    to published BCP/StabNet absolute numbers (see `stability_score` for
+    the measured reasons the cumulative-path convention was rejected),
   * everything is jit-friendly: fixed grids, batched solves, `jnp.fft`.
 
 For clips stabilized by THIS framework the exact black-border crop is also
@@ -124,7 +127,13 @@ def _rect_fill(frames: np.ndarray, rect) -> np.ndarray:
 
 def fit_homographies(src: jax.Array, dst: jax.Array,
                      weights: jax.Array = None) -> jax.Array:
-    """Least-squares homography fit per frame (DLT, h22 = 1).
+    """Least-squares homography fit per frame (DLT).
+
+    The returned H is SCALE-UNNORMALIZED: the DLT pins h22 = 1 in the
+    normalized frame, but the Hartley denormalization (T_dst_inv @ Hn @
+    T_src) generally leaves H[..., 2, 2] != 1.  All projective uses are
+    scale-invariant; callers needing h22 = 1 (e.g. for reading off
+    translations) divide via `_normalize_h`.
 
     The solve is HARTLEY-NORMALIZED (both point sets shifted to zero mean
     and scaled to sqrt(2) RMS radius before building the system, the
@@ -232,12 +241,15 @@ _NOISE_FLOOR_RAD = 0.002
 def stability_score(Hs: jax.Array, band_edge: int = 6) -> jax.Array:
     """Spectral smoothness of the camera motion (higher = steadier, (0, 1]).
 
-    Following the Bundled-Camera-Paths frequency-domain analysis (Sec. 6;
-    the metric the StabNet paper compares with): take the inter-frame
-    translation (tx, ty) and rotation components as 1-D signals and score
-    each as the energy of the lowest `band_edge - 1` non-DC frequency
-    components over the total non-DC energy; the final score is the
-    minimum of the three component scores.
+    A VELOCITY-SPECTRUM VARIANT of the Bundled-Camera-Paths frequency-
+    domain analysis (Sec. 6; the metric family the StabNet paper compares
+    with) — absolute values are NOT comparable to published BCP/StabNet
+    stability numbers (published scores cluster ~0.6-0.9; this variant's
+    honest scale runs ~0.01-0.12, with the ordering preserved): take the
+    inter-frame translation (tx, ty) and rotation components as 1-D
+    signals and score each as the energy of the lowest `band_edge - 1`
+    non-DC frequency components over the total non-DC energy; the final
+    score is the minimum of the three component scores.
 
     Deliberate choice, measured on this rig: the ratio is computed on the
     per-frame MOTION (velocity) series directly, NOT on its cumulative
@@ -393,13 +405,15 @@ def _pairs_h_chunk(a: jax.Array, b: jax.Array, rect: jax.Array = None,
 
     With `rect` (a (4,) [top, left, bottom, right] array), the fit is
     restricted to correspondences landing inside the rect — the delivered
-    crop region (used by the cross-video input->output fit; the input is
-    full-frame, so only the destination is masked).  The rect is a traced
-    ARGUMENT, not a static, so per-clip rects do not recompile the heavy
-    TV-L1 program.  The inter-frame stability path does NOT use rect
-    masking: it is fed the cropped video itself (`_quantized_crop`) —
-    measured on this rig, any fit computed on the black-canvas frames is
-    contaminated by the static border regardless of point masking.
+    crop region.  The rect is a traced ARGUMENT, not a static, so per-clip
+    rects do not recompile the heavy TV-L1 program.  Two callers, two
+    rect treatments: the cross-video input->output fit passes the input
+    full-frame and masks only the destination points; the inter-frame
+    stability path (`_interframe_h`) first replaces the static black
+    canvas outside the rect by edge replication (`_rect_fill`) AND passes
+    the rect — measured on this rig, a fit computed on raw black-canvas
+    frames is contaminated by the static border regardless of point
+    masking, so both defenses are applied there.
 
     With `prealign` (the inter-frame stability path), the global integer
     shift is removed by phase correlation first and added back after the

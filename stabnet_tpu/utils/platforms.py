@@ -46,6 +46,17 @@ def honor_jax_platforms_env(keep_cpu: bool = True) -> None:
     if not env:
         return
     platforms = _normalized_platforms(env, keep_cpu)
+    if platforms != env:
+        # The divergence from the user's explicit setting must be visible
+        # (it also explains the CPU AOT-loader warnings some runs print):
+        # one info line, once per process (README §Environment documents it).
+        import logging
+
+        logging.getLogger("stabnet_tpu").info(
+            "JAX_PLATFORMS=%s: keeping a host CPU backend registered "
+            "(effective platform list %r; default backend unchanged — the "
+            "CPU backend serves determinism-pinned paths like the quality "
+            "metrics)", env, platforms)
 
     import jax
 

@@ -76,10 +76,57 @@ def _check_complete_run(r: subprocess.CompletedProcess) -> None:
     for k in ("online_step_upload_p50_ms", "online_step_dispatch_p50_ms",
               "online_step_compute_readback_p50_ms"):
         assert stats[k] >= 0
+    # Round-5 additions: the measured device-resident p50 (fenced step minus
+    # the measured fence floor) and the FLOPs/MFU attribution.
+    assert stats["online_latency_device_p50_ms"] >= 0
+    assert stats["online_step_fence_floor_p50_ms"] >= 0
+    assert headline["online_latency_device_p50_ms"] >= 0
+    assert stats["flops_per_frame_g"] > 0
+    assert stats["achieved_tflops_per_s_per_chip"] > 0
+    assert 0 < stats["mfu_vs_bf16_peak"] < 1
 
 
 def test_bench_runs_sharded_on_virtual_mesh():
     _check_complete_run(_run_bench())
+
+
+def test_gate_legs_outrank_secondary_stats():
+    # Leg priority (round-4 verdict #4): with only two measured legs allowed,
+    # bench must spend them on the 720p headline and the 1080p GATE leg — not
+    # on the single-stream/slope secondary stats.
+    r = _run_bench({"STABNET_BENCH_MAX_LEGS": "2"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(
+        [l for l in r.stderr.splitlines() if l.startswith("{")][-1])
+    headline = json.loads(
+        [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1])
+    assert stats["fps_48p_batch1_per_chip"] > 0
+    assert stats["fps_32p_batch1_per_chip"] > 0       # the gate leg ran...
+    assert headline["fps_32p_per_chip"] > 0
+    assert "fps_48p_single_stream" not in stats       # ...secondary did not
+    assert "online_frame_latency_device_ms_slope" not in stats
+
+
+def test_completed_legs_survive_retry_attempts(tmp_path):
+    # Round-4 weakness: a retried run re-paid every leg.  Simulate: attempt A
+    # measures only the first two legs (MAX_LEGS hook) under an explicit
+    # shared deadline key; attempt B under the SAME key must restore them
+    # (announcing it), then measure only the remaining legs.
+    import time as _t
+
+    ts = repr(_t.time() + 3600)
+    ra = _run_bench({"STABNET_BENCH_MAX_LEGS": "2",
+                     "STABNET_BENCH_DEADLINE_TS": ts})
+    assert ra.returncode == 0, ra.stderr[-2000:]
+    rb = _run_bench({"STABNET_BENCH_DEADLINE_TS": ts})
+    assert rb.returncode == 0, rb.stderr[-2000:]
+    assert "restored completed legs" in rb.stderr
+    # The restored legs were NOT re-measured (no compile/measure marks for
+    # them in attempt B) yet their values appear in B's final stats line.
+    assert "leg 'batch' measured" not in rb.stderr
+    assert "leg 'out2' measured" not in rb.stderr
+    assert "leg 's1' measured" in rb.stderr
+    _check_complete_run(rb)
 
 
 def test_bench_lands_after_first_attempt_wedge():

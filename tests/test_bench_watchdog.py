@@ -173,6 +173,46 @@ def test_watchdog_shrinks_to_fit_deadline():
     assert took < 40
 
 
+def test_leg_persistence_round_trip(tmp_path):
+    # Completed-leg carryover across retry attempts (round-4 weakness: a
+    # retried run re-paid every measured leg).  The file is keyed by the
+    # shared absolute deadline; save → load restores legs, stats, headline.
+    import bench
+
+    path = str(tmp_path / "legs.json")
+    stats = {"fps_720p_batch6_per_chip": 876.5, "n_devices": 1}
+    headline = {"metric": "stabilized_720p_throughput", "value": 876.5,
+                "vs_baseline": 1.753, "fps_1080p_per_chip": 528.8}
+    bench._save_legs(path, {"batch", "out2"}, stats, headline)
+    saved = bench._load_legs(path)
+    assert saved["legs"] == ["batch", "out2"]
+    assert saved["stats"] == stats
+    assert saved["headline"]["fps_1080p_per_chip"] == 528.8
+
+
+def test_leg_persistence_tolerates_torn_file(tmp_path):
+    import bench
+
+    path = str(tmp_path / "legs.json")
+    with open(path, "w") as f:
+        f.write('{"legs": ["batch", "ou')  # force-exit mid-write artifact
+    saved = bench._load_legs(path)
+    assert saved == {"legs": [], "stats": {}, "headline": {}}
+    # Missing file and no-deadline (None path) are also clean starts.
+    assert bench._load_legs(str(tmp_path / "nope.json"))["legs"] == []
+    assert bench._load_legs(None)["legs"] == []
+    bench._save_legs(None, {"x"}, {}, {})  # no-deadline: no-op, no crash
+
+
+def test_persist_path_keyed_by_deadline():
+    import bench
+
+    assert bench._persist_path(float("inf")) is None
+    p1 = bench._persist_path(1755740000.0)
+    p2 = bench._persist_path(1755740300.0)
+    assert p1 != p2 and "1755740000" in p1
+
+
 def test_default_budget_fits_driver_window(monkeypatch):
     # The driver kill window is <= 600s (BENCH_r03 died at rc=124 before the
     # old 600s watchdog fired even once).  Whatever the env does, the default
