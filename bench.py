@@ -416,8 +416,10 @@ def main():
             peak = float(os.environ.get("STABNET_BENCH_PEAK_TFLOPS", "197"))
             achieved = fps_batch * flops_per_frame / 1e12
             stats["flops_per_frame_g"] = round(flops_per_frame / 1e9, 4)
-            stats["achieved_tflops_per_s_per_chip"] = round(achieved, 4)
-            stats["mfu_vs_bf16_peak"] = round(achieved / peak, 6)
+            # Rounding keeps full signal at both scales: ~22 TFLOP/s on the
+            # TPU rig, ~2e-5 on CI's tiny virtual-mesh run.
+            stats["achieved_tflops_per_s_per_chip"] = round(achieved, 7)
+            stats["mfu_vs_bf16_peak"] = round(achieved / peak, 9)
         except Exception as e:  # cost analysis is advisory, never fatal
             print(f"bench: cost_analysis unavailable ({e!r})",
                   file=sys.stderr, flush=True)
