@@ -168,8 +168,22 @@ def main(argv=None) -> int:
     jitters = [float(j) for j in args.jitters.split(",")]
     ensure_eval_clips(cfg, clip_dir, args.clips, args.frames, jitters)
 
+    # Scale the WHOLE reference schedule into the run, not just the LR-decay
+    # boundary: the reference engages theta-only/black/temporal at
+    # 0.1%/1%/5% of its 100k iterations and decays at 40%
+    # (configs/v2_93.py:5-15,28-32, train_bundle_nobm.py:155-160,219-236).
+    # Scaling only step_size (round 4's harness) inverted the proportions —
+    # the temporal loss, the term that optimizes stability itself, engaged
+    # at raw iter 5000 AFTER a 10k-run's decay at 4000, so it never trained
+    # at full LR.  Proportional scaling preserves the reference's phase
+    # structure at any --target.
     step_size = int(args.target * args.decay_frac)
-    overrides = [f"step_size={step_size}"] + args.set
+    overrides = [
+        f"step_size={step_size}",
+        f"do_theta_only_iter={max(10, args.target // 1000)}",
+        f"do_black_loss_iter={max(50, args.target // 100)}",
+        f"do_temp_loss_iter={max(100, args.target // 20)}",
+    ] + args.set
 
     from stabnet_tpu.train.checkpoint import latest_step
 
