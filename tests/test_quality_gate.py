@@ -5,9 +5,10 @@ trained model's stabilized output must score steadier than the unstable
 input AND than a random-weights baseline, with sane cropping/distortion
 (the one capability the reference exists for, README.md:27-29).
 
-TPU-gated: the 1500-step run is ~9 min on a v5e but ~70 min on this repo's
-1-CPU CI hosts, so the test skips when no accelerator is reachable.  The
-run-of-record numbers live in BASELINE.md ("Quality gate" section).
+TPU-gated: the 2500-step run is minutes on a v5e (plus ~20 min of CPU
+scoring) but hours on this repo's 1-CPU CI hosts, so the test skips when
+no accelerator is reachable.  The run-of-record numbers live in
+BASELINE.md ("Quality gate" section).
 """
 
 import json
@@ -40,7 +41,10 @@ def test_quality_gate_passes(tmp_path):
                     "for the TPU run of record)")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    steps = os.environ.get("STABNET_QGATE_STEPS", "1500")
+    # 2500 = the script's round-5 default: with the rigidity weights pinning
+    # distortion, 1500 steps leaves the stability margin short (0.015 vs the
+    # 0.02 floor); 2500 clears it with room (0.031, run of record).
+    steps = os.environ.get("STABNET_QGATE_STEPS", "2500")
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "scripts", "quality_gate.py"),
          "--steps", steps, "--workdir", str(tmp_path / "qgate")],
